@@ -1,0 +1,167 @@
+"""PDS network: composition of embedding, matching, regularization, estimator.
+
+Functional re-design of the reference's ``network.py:14-65``. The network is a
+pair of pure functions over one parameter pytree:
+
+* :func:`apply` — the differentiable forward pass producing similarity
+  scores (what the reference returns in ``train()`` mode).
+* :func:`infer` — :func:`apply` composed with the sub-pixel MAP estimator
+  (what the reference returns in ``eval()`` mode; the estimator is never
+  differentiated through — reference ``network.py:50-51``,
+  ``estimator.py:19``).
+
+There is no train/eval module flag and no stateful SizeAdapter: padding
+amounts are recomputed from static shapes each call (``ops/pad.py``) and the
+estimator is composed explicitly at the inference call site.
+
+``maximum_disparity`` is a static argument, not network state: the matching
+weights are shared across disparities, so changing the range (the reference's
+``set_maximum_disparity``, ``network.py:26-36``) only changes loop extents —
+here, the static shape of the cost volume, selecting a different jit
+specialization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from practicaldeepstereo_nips2018_tpu.models import embedding
+from practicaldeepstereo_nips2018_tpu.models import matching
+from practicaldeepstereo_nips2018_tpu.models import regularization
+from practicaldeepstereo_nips2018_tpu.ops import pad as pad_ops
+from practicaldeepstereo_nips2018_tpu.ops import subpixel
+
+
+@dataclasses.dataclass(frozen=True)
+class PDSConfig:
+    """Static hyperparameters of the PDS network.
+
+    Defaults mirror the reference's constructor defaults
+    (``embedding.py:14-18``, ``matching.py:69-73``, ``regularization.py:74``,
+    ``estimator.py:22``).
+    """
+    maximum_disparity: int = 255
+    number_of_input_features: int = 3
+    number_of_embedding_features: int = 64
+    number_of_shortcut_features: int = 8
+    number_of_embedding_residual_blocks: int = 2
+    number_of_matching_features: int = 64
+    number_of_signature_features: int = 8
+    number_of_matching_residual_blocks: int = 2
+    number_of_regularization_features: int = 8
+    estimator_half_support_window: int = 4
+    disparity_step: int = 2
+    minimum_size: int = 64
+
+    def __post_init__(self):
+        validate_maximum_disparity(self.maximum_disparity)
+
+    @property
+    def matching_maximum_disparity(self) -> int:
+        """Disparity range at descriptor (quarter) resolution.
+
+        The embedding downsamples 4x, so the matching module covers
+        ``(maximum_disparity + 1) / 4 - 1`` (reference ``network.py:31-36``).
+        """
+        return (self.maximum_disparity + 1) // 4 - 1
+
+    @property
+    def number_of_similarity_levels(self) -> int:
+        """Output disparity levels: even disparities only, step 2."""
+        return (self.maximum_disparity + 1) // 2
+
+
+def validate_maximum_disparity(maximum_disparity: int) -> None:
+    """(maximum_disparity + 1) must be a multiple of 64
+    (reference ``network.py:26-36``): /4 for the embedding stride and /16 for
+    the four stride-2 hourglass levels."""
+    if (maximum_disparity + 1) % 64 != 0:
+        raise ValueError(
+            '"maximum_disparity" + 1 should be a multiple of 64, e.g. '
+            '"maximum_disparity" can be equal to 63, 127, 191, 255...')
+
+
+def init(key, config: PDSConfig = PDSConfig(), dtype=jnp.float32) -> dict:
+    """Returns the full network parameter pytree."""
+    embedding_key, matching_key, regularization_key = jax.random.split(key, 3)
+    return {
+        "embedding": embedding.init(
+            embedding_key,
+            number_of_input_features=config.number_of_input_features,
+            number_of_embedding_features=config.number_of_embedding_features,
+            number_of_shortcut_features=config.number_of_shortcut_features,
+            number_of_residual_blocks=(
+                config.number_of_embedding_residual_blocks),
+            dtype=dtype),
+        "matching": matching.init(
+            matching_key,
+            number_of_concatenated_descriptor_features=(
+                2 * config.number_of_embedding_features),
+            number_of_features=config.number_of_matching_features,
+            number_of_compact_matching_signature_features=(
+                config.number_of_signature_features),
+            number_of_residual_blocks=(
+                config.number_of_matching_residual_blocks),
+            dtype=dtype),
+        "regularization": regularization.init(
+            regularization_key,
+            number_of_features=config.number_of_regularization_features,
+            dtype=dtype),
+    }
+
+
+def apply(params: dict,
+          left_image: jnp.ndarray,
+          right_image: jnp.ndarray,
+          config: PDSConfig = PDSConfig(),
+          compute_dtype=None) -> jnp.ndarray:
+    """Forward pass: returns similarity scores (training-mode output).
+
+    Args:
+        params: pytree from :func:`init`.
+        left_image, right_image: [B, H, W, 3] images (0..255 floats; H, W
+            arbitrary — padded internally to multiples of 64 on the top/left,
+            reference ``size_adapter.py:42-43``).
+        config: static network configuration.
+        compute_dtype: optional dtype (e.g. ``jnp.bfloat16``) the padded
+            inputs are cast to; the output is cast back to the input dtype.
+
+    Returns:
+        [B, H, W, (maximum_disparity+1)/2] similarities; index d along the
+        last axis scores disparity ``2*d`` pixels.
+    """
+    height, width = left_image.shape[1], left_image.shape[2]
+    left = pad_ops.pad_to_multiple(left_image, config.minimum_size)
+    right = pad_ops.pad_to_multiple(right_image, config.minimum_size)
+    input_dtype = left.dtype
+    if compute_dtype is not None:
+        left = left.astype(compute_dtype)
+        right = right.astype(compute_dtype)
+
+    left_descriptor, shortcut_from_left = embedding.apply(
+        params["embedding"], left)
+    right_descriptor, _ = embedding.apply(params["embedding"], right)
+    signatures = matching.apply(params["matching"], left_descriptor,
+                                right_descriptor,
+                                config.matching_maximum_disparity)
+    similarities = regularization.apply(params["regularization"], signatures,
+                                        shortcut_from_left)
+    similarities = similarities.astype(input_dtype)
+    return pad_ops.unpad(similarities, height, width, spatial_axes=(1, 2))
+
+
+def infer(params: dict,
+          left_image: jnp.ndarray,
+          right_image: jnp.ndarray,
+          config: PDSConfig = PDSConfig(),
+          compute_dtype=None) -> jnp.ndarray:
+    """Inference: similarities -> sub-pixel MAP disparity map [B, H, W]."""
+    similarities = apply(params, left_image, right_image, config,
+                         compute_dtype)
+    return subpixel.subpixel_map(
+        similarities.astype(jnp.float32),
+        half_support_window=config.estimator_half_support_window,
+        disparity_step=config.disparity_step)

@@ -1,0 +1,137 @@
+"""Regularization: 3D hourglass network over the cost volume.
+
+Functional re-design of the reference's ``regularization.py:11-126``. The
+hourglass consumes the [B, D', H/4, W/4, 8] cost volume plus the left-image
+2D shortcut and produces similarity scores for EVEN disparities at full image
+resolution.
+
+Structure (feature widths for the default 8-feature config):
+
+    smoothing: 3x3x3 block (8 -> 8)                      (reg.py:77-78,116)
+    4 contraction blocks, widths 8/16/32/64              (reg.py:79-82)
+        each: stride-2 3x3x3 block f -> 2f ("down"), then 3x3x3 block
+        2f -> 2f ("smooth"); returns BOTH outputs (reg.py:11-31)
+    4 expansion blocks, widths 128/64/32/16              (reg.py:83-86)
+        each: 4x4x4 stride-2 transposed block f -> f/2, add contraction
+        skip, 3x3x3 smooth block (reg.py:34-57)
+    upsample-to-halfsize: 4x4x4 stride-2 transposed block 8 -> 4
+    upsample-to-fullsize: RAW anisotropic transposed conv (3,4,4)
+        stride (1,2,2) pad (1,1,1), 4 -> 1 (no act/norm;
+        network_blocks.py:37-44) -> squeeze   (reg.py:87-92,125-126)
+
+Two load-bearing details, both reproduced exactly:
+
+* The left-image shortcut (depth-1 volume) is broadcast-added along the
+  disparity axis to the input of EVERY contraction: the loop state carries a
+  ``shortcut`` tensor that starts as the 2D left shortcut and becomes the
+  pre-smooth downsampling output at deeper levels (reference
+  ``regularization.py:114-119``).
+* Skip connections store the SMOOTHED outputs before each contraction and are
+  added after each expansion's upsampling (reference
+  ``regularization.py:115-123``).
+
+Output layout: [B, H, W, (D+1)/2] — disparity LAST (lane dimension), ready
+for the softmax/argmax of the estimator and loss. The reference returns
+[B, (D+1)/2, H, W].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from practicaldeepstereo_nips2018_tpu.models import blocks
+
+NUMBER_OF_SCALES = 4
+_CONTRACTION_WIDTH_SCALES = (1, 2, 4, 8)
+_EXPANSION_WIDTH_SCALES = (16, 8, 4, 2)
+
+
+def init(key, number_of_features: int = 8, dtype=jnp.float32) -> dict:
+    """Returns the hourglass parameter pytree."""
+    keys = jax.random.split(key, 2 * NUMBER_OF_SCALES * 2 + 3)
+    key_iterator = iter(keys)
+    params = {
+        "smoothing": blocks.init_conv_block(
+            next(key_iterator), 3, number_of_features, number_of_features,
+            spatial_dims=3, dtype=dtype),
+    }
+    for index, scale in enumerate(_CONTRACTION_WIDTH_SCALES):
+        features = number_of_features * scale
+        params[f"contraction{index + 1}"] = {
+            "down": blocks.init_conv_block(
+                next(key_iterator), 3, features, 2 * features,
+                spatial_dims=3, dtype=dtype),
+            "smooth": blocks.init_conv_block(
+                next(key_iterator), 3, 2 * features, 2 * features,
+                spatial_dims=3, dtype=dtype),
+        }
+    for index, scale in enumerate(_EXPANSION_WIDTH_SCALES):
+        features = number_of_features * scale
+        params[f"expansion{index + 1}"] = {
+            "up": blocks.init_conv_transpose_block(
+                next(key_iterator), 4, features, features // 2,
+                spatial_dims=3, dtype=dtype),
+            "smooth": blocks.init_conv_block(
+                next(key_iterator), 3, features // 2, features // 2,
+                spatial_dims=3, dtype=dtype),
+        }
+    params["upsample_to_halfsize"] = blocks.init_conv_transpose_block(
+        next(key_iterator), 4, number_of_features, number_of_features // 2,
+        spatial_dims=3, dtype=dtype)
+    params["upsample_to_fullsize"] = blocks.init_conv_transpose(
+        next(key_iterator), (3, 4, 4), number_of_features // 2, 1,
+        spatial_dims=3, dtype=dtype)
+    return params
+
+
+def contraction_block(params: dict, x: jnp.ndarray):
+    """Stride-2 downsampling + smoothing; returns (pre_smooth, smoothed)."""
+    down = blocks.conv_block(params["down"], x, stride=2)
+    return down, blocks.conv_block(params["smooth"], down)
+
+
+def expansion_block(params: dict, x: jnp.ndarray,
+                    shortcut_from_contraction: jnp.ndarray) -> jnp.ndarray:
+    """Transposed upsampling, skip add, smoothing."""
+    up = blocks.conv_transpose_block(params["up"], x, stride=2, padding=1)
+    return blocks.conv_block(params["smooth"],
+                             up + shortcut_from_contraction)
+
+
+def apply(params: dict,
+          matching_signatures: jnp.ndarray,
+          shortcut_from_left_image: jnp.ndarray) -> jnp.ndarray:
+    """Returns regularized similarities for even disparities.
+
+    Args:
+        matching_signatures: [B, D', H/4, W/4, C] cost volume (D' = disparity
+            levels at quarter resolution).
+        shortcut_from_left_image: [B, H/4, W/4, C] left descriptor shortcut.
+
+    Returns:
+        [B, H, W, 2*D'] similarities — element d along the last axis scores
+        disparity ``2*d`` pixels (the network upsamples disparity 2x from
+        quarter resolution, spatial 4x; reference ``regularization.py:60-72``).
+    """
+    # Depth-1 volume broadcast along disparities at each contraction input.
+    shortcut = shortcut_from_left_image[:, None]
+    output = blocks.conv_block(params["smoothing"], matching_signatures)
+
+    shortcuts_from_contraction = []
+    for index in range(NUMBER_OF_SCALES):
+        shortcuts_from_contraction.append(output)
+        shortcut, output = contraction_block(
+            params[f"contraction{index + 1}"], shortcut + output)
+
+    for index in range(NUMBER_OF_SCALES):
+        output = expansion_block(params[f"expansion{index + 1}"], output,
+                                 shortcuts_from_contraction.pop())
+
+    output = blocks.conv_transpose_block(
+        params["upsample_to_halfsize"], output, stride=2, padding=1)
+    output = blocks.conv_transpose(
+        params["upsample_to_fullsize"], output,
+        stride=(1, 2, 2), padding=(1, 1, 1))
+    # [B, 2D', H, W, 1] -> disparity-last [B, H, W, 2D'].
+    return jnp.moveaxis(output[..., 0], 1, -1)

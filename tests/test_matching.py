@@ -1,0 +1,85 @@
+"""Tests for the cost-volume build and matching stage.
+
+Pins (a) the reference's exact shift/zero-fill golden volume
+(reference ``test/test_matching.py:17-32``, re-expressed channels-last),
+(b) the equivalence of the linearity-factored fast build against a direct
+per-disparity loop with the same head conv, and (c) the matching stage's
+output shape contract (reference ``test/test_matching.py:35-40``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from practicaldeepstereo_nips2018_tpu.models import matching
+from practicaldeepstereo_nips2018_tpu.ops import costvolume
+
+
+def _volume_with_mockup_max_operation(left, right, maximum_disparity):
+    """Channel-max mockup of the reference golden test: build the raw
+    shifted concat volume and reduce channels with max."""
+    width = left.shape[-2]
+    padded = jnp.pad(right, [(0, 0), (0, 0), (maximum_disparity, 0), (0, 0)])
+    rows = []
+    for d in range(maximum_disparity + 1):
+        shifted = jax.lax.slice_in_dim(
+            padded, maximum_disparity - d, maximum_disparity - d + width,
+            axis=2)
+        concatenated = jnp.concatenate([left, shifted], axis=-1)
+        rows.append(jnp.max(concatenated, axis=-1, keepdims=True))
+    return jnp.stack(rows, axis=1)
+
+
+def test_shift_concat_golden():
+    # Reference golden: left [0,2,1,2], right [3,4,2,4], D=2 ->
+    # [[3,4,2,4],[0,3,4,2],[0,2,3,4]] (test_matching.py:17-32).
+    left = jnp.asarray([0.0, 2.0, 1.0, 2.0]).reshape(1, 1, 4, 1)
+    right = jnp.asarray([3.0, 4.0, 2.0, 4.0]).reshape(1, 1, 4, 1)
+    volume = _volume_with_mockup_max_operation(left, right, 2)
+    expected = np.array([[3, 4, 2, 4], [0, 3, 4, 2],
+                         [0, 2, 3, 4]]).reshape(1, 3, 1, 4, 1)
+    assert np.allclose(np.asarray(volume), expected)
+    volume = _volume_with_mockup_max_operation(left, right, 1)
+    expected = np.array([[3, 4, 2, 4], [0, 3, 4, 2]]).reshape(1, 2, 1, 4, 1)
+    assert np.allclose(np.asarray(volume), expected)
+
+
+def test_factored_build_equals_direct_loop():
+    key = jax.random.PRNGKey(0)
+    head = matching.init(key)["head"]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    left = jax.random.normal(k1, (2, 6, 20, 64))
+    right = jax.random.normal(k2, (2, 6, 20, 64))
+    for maximum_disparity in (0, 3, 15, 25):
+        direct = costvolume.cost_volume_direct(head, left, right,
+                                               maximum_disparity)
+        fast = costvolume.build_cost_volume(head, left, right,
+                                            maximum_disparity)
+        assert fast.shape == direct.shape
+        assert np.allclose(np.asarray(fast), np.asarray(direct), atol=1e-4), \
+            f"mismatch at D={maximum_disparity}"
+
+
+def test_factored_build_disparity_exceeding_width():
+    # Disparities larger than the image width must degenerate to the pure
+    # left plane (all right taps are zero fill), like the reference's
+    # fully-shifted-out case.
+    key = jax.random.PRNGKey(2)
+    head = matching.init(key)["head"]
+    left = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 5, 64))
+    right = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 5, 64))
+    direct = costvolume.cost_volume_direct(head, left, right, 7)
+    fast = costvolume.build_cost_volume(head, left, right, 7)
+    assert np.allclose(np.asarray(fast), np.asarray(direct), atol=1e-4)
+    left_plane, _, _ = costvolume.matching_head_planes(head, left, right)
+    assert np.allclose(np.asarray(fast[:, 7]), np.asarray(left_plane),
+                       atol=1e-5)
+
+
+def test_matching_stage_output_shape():
+    # Reference test_matching.py:35-40: 128-ch concat -> 8-ch signature.
+    params = matching.init(jax.random.PRNGKey(0))
+    left = jax.random.normal(jax.random.PRNGKey(1), (2, 25, 25, 64))
+    right = jax.random.normal(jax.random.PRNGKey(2), (2, 25, 25, 64))
+    signatures = matching.apply(params, left, right, maximum_disparity=15)
+    assert signatures.shape == (2, 16, 25, 25, 8)

@@ -1,0 +1,110 @@
+"""Shape-contract tests for the model stack, mirroring the reference suite.
+
+Reference contracts reproduced (channels-last):
+  * embedding: 100x100 image -> 25x25 descriptor with 64 + 8 channels
+    (``test/test_embedding.py:11-17``);
+  * regularization: contraction ceil-halves odd dims (10,14,16 -> 5,7,8),
+    expansion doubles, full module 32^3 volume -> (2, 128, 128, 64)
+    (``test/test_regularization.py:11-36``);
+  * network: non-multiple-of-64 input 62x49; D=63 -> 32 similarity levels,
+    D=255 -> 128; inference -> (1, 62, 49) disparity map
+    (``test/test_network.py:11-27``), and the (D+1) % 64 validation
+    (``network.py:26-36``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from practicaldeepstereo_nips2018_tpu.models import (
+    embedding, network, regularization)
+
+
+def test_embedding_output_size():
+    params = embedding.init(jax.random.PRNGKey(0))
+    image = jax.random.uniform(jax.random.PRNGKey(1), (2, 100, 100, 3)) * 255
+    descriptor, shortcut = embedding.apply(params, image)
+    assert descriptor.shape == (2, 25, 25, 64)
+    assert shortcut.shape == (2, 25, 25, 8)
+
+
+def test_contraction_block_output_size():
+    params = regularization.init(jax.random.PRNGKey(0),
+                                 number_of_features=6)["contraction1"]
+    block_input = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 14, 16, 6))
+    down, smooth = regularization.contraction_block(params, block_input)
+    assert down.shape == (2, 5, 7, 8, 12)
+    assert smooth.shape == (2, 5, 7, 8, 12)
+
+
+def test_expansion_block_output_size():
+    # Width-6 expansion: 6 -> 3 channels, 2x upsample, matches reference
+    # test_regularization.py:20-27.
+    from practicaldeepstereo_nips2018_tpu.models import blocks
+    key = jax.random.PRNGKey(0)
+    params = {
+        "up": blocks.init_conv_transpose_block(key, 4, 6, 3, spatial_dims=3),
+        "smooth": blocks.init_conv_block(key, 3, 3, 3, spatial_dims=3),
+    }
+    block_input = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 14, 16, 6))
+    shortcut = jax.random.normal(jax.random.PRNGKey(2), (2, 20, 28, 32, 3))
+    out = regularization.expansion_block(params, block_input, shortcut)
+    assert out.shape == (2, 20, 28, 32, 3)
+
+
+def test_regularization_output_size():
+    params = regularization.init(jax.random.PRNGKey(0))
+    signatures = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 32, 8))
+    shortcut = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 8))
+    similarities = regularization.apply(params, signatures, shortcut)
+    # Reference returns (2, 64, 128, 128) in NCHW; disparity-last here.
+    assert similarities.shape == (2, 128, 128, 64)
+
+
+def test_pds_network_shapes():
+    config = network.PDSConfig(maximum_disparity=63)
+    params = network.init(jax.random.PRNGKey(0), config)
+    left = jax.random.uniform(jax.random.PRNGKey(1), (1, 62, 49, 3)) * 255
+    right = jax.random.uniform(jax.random.PRNGKey(2), (1, 62, 49, 3)) * 255
+
+    similarities = network.apply(params, left, right, config)
+    assert similarities.shape == (1, 62, 49, 32)
+
+    config_255 = network.PDSConfig(maximum_disparity=255)
+    similarities = network.apply(params, left, right, config_255)
+    assert similarities.shape == (1, 62, 49, 128)
+
+    disparity = network.infer(params, left, right, config)
+    assert disparity.shape == (1, 62, 49)
+    assert np.all(np.isfinite(np.asarray(disparity)))
+    assert np.asarray(disparity).min() >= 0.0
+    assert np.asarray(disparity).max() <= 63.0
+
+
+def test_maximum_disparity_validation():
+    with pytest.raises(ValueError):
+        network.PDSConfig(maximum_disparity=64)
+    with pytest.raises(ValueError):
+        network.validate_maximum_disparity(100)
+    network.validate_maximum_disparity(191)
+
+
+def test_network_is_jittable_and_differentiable():
+    config = network.PDSConfig(maximum_disparity=63)
+    params = network.init(jax.random.PRNGKey(0), config)
+    left = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 255
+    right = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3)) * 255
+
+    @jax.jit
+    def loss_fn(p):
+        sims = network.apply(p, left, right, config)
+        return jnp.mean(jnp.square(sims))
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(grads)
+    assert leaves
+    assert all(np.all(np.isfinite(np.asarray(leaf))) for leaf in leaves)
+    # Gradients must reach every parameter group.
+    total = sum(float(jnp.sum(jnp.abs(leaf))) for leaf in leaves)
+    assert total > 0.0
