@@ -1,0 +1,125 @@
+"""Host-side input pipeline: threaded prefetch + batching + host sharding.
+
+The reference feeds the GPU with ``torch.utils.data.DataLoader(batch_size=1,
+num_workers=3)`` (reference ``train_on_flyingthings3d.py:55-66``) — its only
+form of parallelism. The TPU pipeline needs more: uniform numpy batches for
+data-parallel meshes, per-host example sharding for multi-host training, and
+prefetch that overlaps decode (cv2/PFM release the GIL) with device steps.
+
+:class:`Loader` iterates a :class:`~..data.dataset.Dataset` and yields
+batches — nested dicts of stacked float32 numpy arrays
+
+    {'left': {'image': [B, H, W, 3], 'disparity_image': [B, H, W]},
+     'right': {'image': [B, H, W, 3]}}
+
+(``disparity_image`` omitted when the dataset has no ground truth). A
+``ThreadPoolExecutor`` decodes ``prefetch_factor * batch_size`` examples
+ahead; epoch shuffling is deterministic per (seed, epoch).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import random
+from typing import Iterator
+
+import numpy as np
+
+
+def _stack_examples(examples: list[dict]) -> dict:
+    batch = {
+        "left": {
+            "image": np.stack([e["left"]["image"] for e in examples]),
+        },
+        "right": {
+            "image": np.stack([e["right"]["image"] for e in examples]),
+        },
+    }
+    disparities = [e["left"].get("disparity_image") for e in examples]
+    if all(d is not None for d in disparities):
+        batch["left"]["disparity_image"] = np.stack(disparities)
+    return batch
+
+
+class Loader:
+    """Prefetching, sharding batch loader over an indexable dataset."""
+
+    def __init__(self,
+                 dataset,
+                 batch_size: int = 1,
+                 shuffle: bool = False,
+                 num_workers: int = 3,
+                 drop_last: bool = False,
+                 seed: int = 0,
+                 host_index: int = 0,
+                 host_count: int = 1,
+                 prefetch_factor: int = 2):
+        """Args:
+            dataset: indexable dataset of example dicts.
+            batch_size: per-HOST batch size (the device mesh further splits
+                it across local devices).
+            shuffle: reshuffle example order each epoch (deterministic in
+                (seed, epoch)).
+            num_workers: decode threads.
+            drop_last: drop the trailing incomplete batch (required for
+                static-shape jit when batch_size > 1).
+            host_index, host_count: this host's shard of the example stream
+                (multi-host data parallelism; every host must use the same
+                seed so the shards partition each epoch's permutation).
+            prefetch_factor: number of examples decoded ahead, per worker.
+        """
+        self._dataset = dataset
+        self._batch_size = batch_size
+        self._shuffle = shuffle
+        self._num_workers = max(1, num_workers)
+        self._drop_last = drop_last
+        self._seed = seed
+        self._host_index = host_index
+        self._host_count = host_count
+        self._prefetch = max(1, prefetch_factor) * max(1, num_workers)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Sets the epoch used for the deterministic shuffle."""
+        self._epoch = epoch
+
+    def _epoch_indices(self) -> list[int]:
+        indices = list(range(len(self._dataset)))
+        if self._shuffle:
+            random.Random(self._seed + self._epoch).shuffle(indices)
+        # Host shard: contiguous stride partition of the permuted stream.
+        return indices[self._host_index::self._host_count]
+
+    def __len__(self) -> int:
+        number = len(self._epoch_indices())
+        if self._drop_last:
+            return number // self._batch_size
+        return -(-number // self._batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._epoch_indices()
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=self._num_workers) as pool:
+            pending = []
+            cursor = 0
+
+            def enqueue():
+                nonlocal cursor
+                while cursor < len(indices) and len(pending) < self._prefetch:
+                    pending.append(
+                        pool.submit(self._dataset.__getitem__,
+                                    indices[cursor]))
+                    cursor += 1
+
+            enqueue()
+            batch = []
+            while pending:
+                example = pending.pop(0).result()
+                enqueue()
+                batch.append(example)
+                if len(batch) == self._batch_size:
+                    yield _stack_examples(batch)
+                    batch = []
+            if batch and not self._drop_last:
+                yield _stack_examples(batch)
+        self._epoch += 1

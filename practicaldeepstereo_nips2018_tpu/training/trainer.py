@@ -1,0 +1,398 @@
+"""Training engine: jit-compiled train/eval steps + epoch orchestration.
+
+Re-designs the reference's two-level trainer (``trainer.py`` abstract engine +
+``pds_trainer.py`` PDS concretization) for the TPU execution model:
+
+* ONE jitted train step (forward + loss + backward + RMSprop update) with
+  donated params/optimizer state — the whole optimization step is a single
+  XLA program; there is no per-batch ``zero_grad``/``empty_cache`` dance.
+* ONE jitted eval step returning the disparity map, the 3PE binary error map
+  and both metrics (MAE + 3PE), all computed on device.
+* The learning rate is a runtime scalar argument (epoch-boundary decay never
+  recompiles).
+* Data parallelism falls out of GSPMD: when a mesh is given, batches are
+  placed batch-sharded over the ``data`` axis and the SAME jitted step runs
+  SPMD — the mean loss/gradients become global means via compiler-inserted
+  collectives (the reference is strictly single-GPU batch-1,
+  ``train_on_flyingthings3d.py:57``).
+
+Orchestration semantics preserved from the reference: per-epoch loop =
+train -> validate -> report (plot + log) -> lr-schedule step -> checkpoint
+(``trainer.py:124-139``); progress logging at every 10% of examples
+(``trainer.py:23-29``); per-example synchronized wall-clock timing in eval
+(``trainer.py:141-148``); first four validation examples visualized
+(``pds_trainer.py:102-142``); checkpoint/resume contract incl.
+``load_only_network`` (``trainer.py:87-108``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from practicaldeepstereo_nips2018_tpu import models
+from practicaldeepstereo_nips2018_tpu import ops
+from practicaldeepstereo_nips2018_tpu.training import checkpoint as ckpt
+from practicaldeepstereo_nips2018_tpu.training import optimizer as opt
+from practicaldeepstereo_nips2018_tpu.utils import visualization
+
+
+def _is_logging_required(example_index: int, number_of_examples: int) -> bool:
+    """True after every 10% of examples (reference ``trainer.py:23-29``)."""
+    return (example_index + 1) % max(1, number_of_examples // 10) == 0
+
+
+def average(values: list) -> float:
+    return float(np.mean(np.asarray(values, dtype=np.float64)))
+
+
+class PDSTrainer:
+    """PDS training engine."""
+
+    def __init__(self,
+                 network_config: models.PDSConfig,
+                 params: dict,
+                 training_set_loader=None,
+                 test_set_loader=None,
+                 experiment_folder: str = ".",
+                 initial_learning_rate: float = 1e-2,
+                 learning_rate_milestones=(6, 7, 8, 9, 10),
+                 learning_rate_gamma: float = 0.5,
+                 end_epoch: int = 10,
+                 loss_diversity: float = 1.0,
+                 compute_dtype=None,
+                 mesh=None,
+                 number_of_examples_to_visualize: int = 3):
+        self._config = network_config
+        self._params = params
+        self._training_set_loader = training_set_loader
+        self._test_set_loader = test_set_loader
+        self._experiment_folder = experiment_folder
+        self._end_epoch = end_epoch
+        self._loss_diversity = loss_diversity
+        self._compute_dtype = compute_dtype
+        self._mesh = mesh
+        self._number_of_examples_to_visualize = (
+            number_of_examples_to_visualize)
+
+        self._optimizer = opt.rmsprop()
+        self._opt_state = self._optimizer.init(params)
+        self._learning_rate_schedule = opt.multistep_lr(
+            initial_learning_rate, learning_rate_milestones,
+            learning_rate_gamma)
+        self._initial_learning_rate = initial_learning_rate
+        self._learning_rate_milestones = tuple(learning_rate_milestones)
+        self._learning_rate_gamma = learning_rate_gamma
+
+        self._current_epoch = 0
+        self._training_losses: list[float] = []
+        self._test_errors: list[dict] = []
+
+        self._initialize_filenames()
+        self._logger = None
+
+        if self._mesh is not None:
+            from practicaldeepstereo_nips2018_tpu.parallel import sharding
+            self._batch_sharding = sharding.batch_sharding(self._mesh)
+        else:
+            self._batch_sharding = None
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _train_step(self, params, opt_state, left, right, ground_truth,
+                    learning_rate):
+        def loss_fn(p):
+            similarities = models.apply(p, left, right, self._config,
+                                        self._compute_dtype)
+            return ops.subpixel_cross_entropy(
+                similarities, ground_truth,
+                diversity=self._loss_diversity,
+                disparity_step=self._config.disparity_step)
+
+        loss, gradients = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self._optimizer.update(gradients, opt_state)
+        params = jax.tree.map(lambda p, u: p - learning_rate * u, params,
+                              updates)
+        return params, opt_state, loss
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval_step(self, params, left, right, ground_truth):
+        disparity = models.infer(params, left, right, self._config,
+                                 self._compute_dtype)
+        error_map, three_pixels_error = ops.n_pixels_error(
+            disparity, ground_truth)
+        _, mean_absolute_error = ops.absolute_error(disparity, ground_truth)
+        return disparity, error_map, three_pixels_error, mean_absolute_error
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer_step(self, params, left, right):
+        return models.infer(params, left, right, self._config,
+                            self._compute_dtype)
+
+    # ------------------------------------------------------------------
+    # Checkpointing (contract of reference trainer.py:87-122)
+    # ------------------------------------------------------------------
+
+    def _initialize_filenames(self):
+        folder = self._experiment_folder
+        self._log_filename = os.path.join(folder, "log.txt")
+        self._plot_filename = os.path.join(folder, "plot.png")
+        self._left_image_template = os.path.join(
+            folder, "example_{0:04d}_image.png")
+        self._estimated_disparity_image_template = os.path.join(
+            folder, "example_{0:04d}_disparity_epoch_{1:03d}.png")
+        self._ground_truth_disparity_image_template = os.path.join(
+            folder, "example_{0:04d}_disparity_ground_truth.png")
+        self._3_pixels_error_image_template = os.path.join(
+            folder, "example_{0:04d}_error_map_epoch_{1:03d}.png")
+
+    def _save_checkpoint(self):
+        ckpt.save_checkpoint(
+            ckpt.checkpoint_filename(self._experiment_folder,
+                                     self._current_epoch + 1),
+            trees={"params": self._params, "opt_state": self._opt_state},
+            metadata={
+                "training_losses": self._training_losses,
+                "test_errors": self._test_errors,
+                "learning_rate_scheduler": {
+                    "initial_learning_rate": self._initial_learning_rate,
+                    "milestones": list(self._learning_rate_milestones),
+                    "gamma": self._learning_rate_gamma,
+                },
+            })
+
+    def load_checkpoint(self, filename: str,
+                        load_only_network: bool = False) -> None:
+        """Restores training state (or just the network when
+        ``load_only_network``, for fine-tuning/eval)."""
+        if load_only_network:
+            trees, _ = ckpt.load_checkpoint(filename,
+                                            {"params": self._params})
+            self._params = trees["params"]
+            return
+        trees, metadata = ckpt.load_checkpoint(
+            filename, {"params": self._params,
+                       "opt_state": self._opt_state})
+        self._params = trees["params"]
+        self._opt_state = trees["opt_state"]
+        self._training_losses = list(metadata["training_losses"])
+        self._test_errors = list(metadata["test_errors"])
+        self._current_epoch = len(self._training_losses)
+
+    # ------------------------------------------------------------------
+    # Device placement
+    # ------------------------------------------------------------------
+
+    def _place(self, array: np.ndarray):
+        array = jnp.asarray(array)
+        if self._batch_sharding is not None:
+            return jax.device_put(array, self._batch_sharding)
+        return array
+
+    def _batch_arrays(self, batch: dict):
+        left = self._place(batch["left"]["image"])
+        right = self._place(batch["right"]["image"])
+        ground_truth = batch["left"].get("disparity_image")
+        if ground_truth is not None:
+            ground_truth = self._place(ground_truth)
+        return left, right, ground_truth
+
+    # ------------------------------------------------------------------
+    # Epoch loops
+    # ------------------------------------------------------------------
+
+    def _train_for_epoch(self) -> float:
+        losses = []
+        number_of_batches = len(self._training_set_loader)
+        if hasattr(self._training_set_loader, "set_epoch"):
+            self._training_set_loader.set_epoch(self._current_epoch)
+        learning_rate = self._learning_rate_schedule(self._current_epoch)
+        for batch_index, batch in enumerate(self._training_set_loader):
+            if _is_logging_required(batch_index, number_of_batches):
+                self._logger.log(
+                    "epoch {0:02d} ({1:02d}) : training: {2:05d} ({3:05d})"
+                    .format(self._current_epoch + 1, self._end_epoch,
+                            batch_index + 1, number_of_batches))
+            left, right, ground_truth = self._batch_arrays(batch)
+            self._params, self._opt_state, loss = self._train_step(
+                self._params, self._opt_state, left, right, ground_truth,
+                learning_rate)
+            losses.append(float(loss))
+        return average(losses)
+
+    def _test(self):
+        errors = []
+        processing_times = []
+        if self._test_set_loader is None or len(self._test_set_loader) == 0:
+            return {}, 0.0
+        number_of_examples = len(self._test_set_loader)
+        for example_index, example in enumerate(self._test_set_loader):
+            if _is_logging_required(example_index, number_of_examples):
+                self._logger.log(
+                    "epoch: {0:02d} ({1:02d}) : validation: {2:05d} "
+                    "({3:05d})".format(self._current_epoch + 1,
+                                       self._end_epoch, example_index + 1,
+                                       number_of_examples))
+            left, right, ground_truth = self._batch_arrays(example)
+            start_time = time.time()
+            if ground_truth is None:
+                # Benchmark sets without ground truth (e.g. KITTI testing):
+                # inference + visualization only, no metrics.
+                disparity = jax.block_until_ready(
+                    self._infer_step(self._params, left, right))
+                processing_times.append(time.time() - start_time)
+                self._visualize_example(example, np.asarray(disparity),
+                                        None, example_index)
+                continue
+            outputs = self._eval_step(self._params, left, right, ground_truth)
+            disparity = jax.block_until_ready(outputs[0])
+            processing_time = time.time() - start_time
+            _, error_map, three_pixels_error, mean_absolute_error = outputs
+            errors.append({
+                "three_pixels_error": float(three_pixels_error),
+                "mean_absolute_error": float(mean_absolute_error),
+            })
+            processing_times.append(processing_time)
+            self._visualize_example(example, np.asarray(disparity),
+                                    np.asarray(error_map), example_index)
+        return self._average_errors(errors), average(processing_times)
+
+    @staticmethod
+    def _average_errors(errors: list[dict]) -> dict:
+        keys = errors[0].keys() if errors else ()
+        return {key: average([e[key] for e in errors]) for key in keys}
+
+    # ------------------------------------------------------------------
+    # Reporting & visualization (reference pds_trainer.py:76-142)
+    # ------------------------------------------------------------------
+
+    def _visualize_example(self, example: dict, disparity: np.ndarray,
+                           error_map: np.ndarray, example_index: int) -> None:
+        if example_index > self._number_of_examples_to_visualize:
+            return
+        if jax.process_index() != 0:
+            return
+        ground_truth = example["left"].get("disparity_image")
+        left_image = example["left"]["image"][0]
+        visualization.save_image(
+            self._left_image_template.format(example_index + 1), left_image)
+        if ground_truth is None:
+            return
+        ground_truth = ground_truth[0]
+        finite = ~np.isinf(ground_truth)
+        minimum_disparity = float(ground_truth.min())
+        maximum_disparity = float(ground_truth[finite].max())
+        visualization.save_matrix(
+            self._ground_truth_disparity_image_template.format(
+                example_index + 1),
+            ground_truth, minimum_disparity, maximum_disparity)
+        visualization.save_matrix(
+            self._estimated_disparity_image_template.format(
+                example_index + 1, self._current_epoch + 1),
+            disparity[0], minimum_disparity, maximum_disparity)
+        overlay = visualization.overlay_image_with_binary_error(
+            left_image, error_map[0])
+        visualization.save_image(
+            self._3_pixels_error_image_template.format(
+                example_index + 1, self._current_epoch + 1), overlay)
+
+    def _report_training_progress(self):
+        last_errors = self._test_errors[-1] if self._test_errors else {}
+        if last_errors:
+            three_pixel_errors = [e["three_pixels_error"]
+                                  for e in self._test_errors]
+            if jax.process_index() == 0:
+                visualization.plot_losses_and_errors(
+                    self._plot_filename, self._training_losses,
+                    three_pixel_errors)
+            self._logger.log(
+                "epoch {0:02d} ({1:02d}) : training loss = {2:.5f}, "
+                "MAE = {3:.5f} [pix], 3PE = {4:.5f} [%], "
+                "learning rate = {5:.5f}.".format(
+                    self._current_epoch + 1, self._end_epoch,
+                    self._training_losses[-1],
+                    last_errors["mean_absolute_error"],
+                    last_errors["three_pixels_error"],
+                    self._learning_rate_schedule(self._current_epoch)))
+        else:
+            self._logger.log(
+                "epoch {0:02d} ({1:02d}) : training loss = {2:.5f}, "
+                "learning rate = {3:.5f} (no validation set).".format(
+                    self._current_epoch + 1, self._end_epoch,
+                    self._training_losses[-1],
+                    self._learning_rate_schedule(self._current_epoch)))
+
+    def _report_test_results(self, error: dict, processing_time: float):
+        if not error:
+            self._logger.log(
+                "Testing results: no ground truth; "
+                "time-per-image = {0:.2f} [sec].".format(processing_time))
+            return
+        self._logger.log(
+            "Testing results:"
+            "MAE = {0:.5f} [pix], "
+            "3PE = {1:.5f} [%], "
+            "time-per-image = {2:.2f} [sec].".format(
+                error["mean_absolute_error"], error["three_pixels_error"],
+                processing_time))
+
+    # ------------------------------------------------------------------
+    # Public API (reference trainer.py:124-139, 254-260)
+    # ------------------------------------------------------------------
+
+    def _ensure_logger(self):
+        if self._logger is None:
+            os.makedirs(self._experiment_folder, exist_ok=True)
+            self._logger = visualization.Logger(self._log_filename)
+
+    def train(self):
+        """Trains to ``end_epoch``; returns the last validation error."""
+        self._ensure_logger()
+        if (self._training_set_loader is None
+                or len(self._training_set_loader) == 0):
+            raise ValueError(
+                "training set is empty — check dataset filters "
+                "(maximum_disparity) and the validation holdout size")
+        start_epoch = self._current_epoch
+        if start_epoch == self._end_epoch:
+            return None
+        self._logger.log("Training started.")
+        for self._current_epoch in range(start_epoch, self._end_epoch):
+            self._training_losses.append(self._train_for_epoch())
+            self._test_errors.append(self._test()[0])
+            self._report_training_progress()
+            self._save_checkpoint()
+        self._current_epoch = self._end_epoch
+        return self._test_errors[-1]
+
+    def test(self):
+        """Evaluates on the test loader; reports and returns
+        (average_errors, average_processing_time)."""
+        self._ensure_logger()
+        errors, processing_time = self._test()
+        self._report_test_results(errors, processing_time)
+        return errors, processing_time
+
+    @property
+    def params(self):
+        return self._params
+
+    @property
+    def training_losses(self):
+        return list(self._training_losses)
+
+    @property
+    def test_errors(self):
+        return list(self._test_errors)
+
+    @property
+    def current_epoch(self):
+        return self._current_epoch

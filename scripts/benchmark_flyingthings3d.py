@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmarks PDS on the FlyingThings3D test set (PSM or CRL protocol).
+
+TPU-native counterpart of the reference's ``benchmark_on_flyingthings3d.py``:
+maximum disparity 191 on full-size 960x540 images; the PSM protocol keeps
+every TEST example, the CRL protocol drops examples where more than 25% of
+pixels exceed 300 px; both mask ground truth above 192 px. Reports MAE [px],
+3PE [%] and synchronized time-per-image [sec].
+
+Example:
+    python scripts/benchmark_flyingthings3d.py \
+        --dataset_folder datasets/flyingthings3d \
+        --experiment_folder experiments/flyingthings3d_benchmark \
+        --checkpoint_file experiments/flyingthings3d/010_checkpoint.npz \
+        --is_psm_protocol
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from practicaldeepstereo_nips2018_tpu import models
+from practicaldeepstereo_nips2018_tpu.data import FlyingThings3D, Loader
+from practicaldeepstereo_nips2018_tpu.training import PDSTrainer
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset_folder",
+                        default="datasets/flyingthings3d")
+    parser.add_argument("--experiment_folder",
+                        default="experiments/flyingthings3d_benchmarking")
+    parser.add_argument("--checkpoint_file", required=True)
+    parser.add_argument("--is_psm_protocol", action="store_true")
+    parser.add_argument("--maximum_disparity", type=int, default=191)
+    parser.add_argument("--bfloat16", action="store_true")
+    parser.add_argument("--num_workers", type=int, default=3)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    os.makedirs(args.experiment_folder, exist_ok=True)
+
+    test_set = FlyingThings3D.benchmark_dataset(
+        args.dataset_folder, is_psm_protocol=args.is_psm_protocol)
+    config = models.PDSConfig(maximum_disparity=args.maximum_disparity)
+    params = models.init(jax.random.PRNGKey(0), config)
+
+    trainer = PDSTrainer(
+        network_config=config,
+        params=params,
+        test_set_loader=Loader(test_set, batch_size=1,
+                               num_workers=args.num_workers),
+        experiment_folder=os.path.abspath(args.experiment_folder),
+        compute_dtype=jnp.bfloat16 if args.bfloat16 else None)
+    trainer.load_checkpoint(os.path.abspath(args.checkpoint_file),
+                            load_only_network=True)
+    errors, processing_time = trainer.test()
+    print(f"MAE = {errors['mean_absolute_error']:.5f} [pix], "
+          f"3PE = {errors['three_pixels_error']:.5f} [%], "
+          f"time-per-image = {processing_time:.3f} [sec]")
+
+
+if __name__ == "__main__":
+    main()

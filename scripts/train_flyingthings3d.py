@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Trains PDS from scratch on FlyingThings3D.
+
+TPU-native counterpart of the reference's ``train_on_flyingthings3d.py``:
+same protocol — maximum disparity 255, full-size 960x540 images, no
+augmentation, RMSprop lr 1e-2 halved per-epoch at epochs 6..10, 10 epochs,
+500 examples held out for validation, artifact/disparity-range filters — with
+the additions the reference never had: device-mesh data parallelism
+(``--batch_size``/``--mesh_data``), cost-volume W-sharding
+(``--mesh_volume``), bfloat16 compute, and per-host input sharding.
+
+Example:
+    python scripts/train_flyingthings3d.py \
+        --dataset_folder datasets/flyingthings3d \
+        --experiment_folder experiments/flyingthings3d \
+        [--checkpoint_file experiments/flyingthings3d/001_checkpoint.npz]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from practicaldeepstereo_nips2018_tpu import models
+from practicaldeepstereo_nips2018_tpu.data import FlyingThings3D, Loader
+from practicaldeepstereo_nips2018_tpu.data import transforms
+from practicaldeepstereo_nips2018_tpu.parallel import make_mesh
+from practicaldeepstereo_nips2018_tpu.training import PDSTrainer
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset_folder",
+                        default="datasets/flyingthings3d")
+    parser.add_argument("--experiment_folder",
+                        default="experiments/flyingthings3d")
+    parser.add_argument("--checkpoint_file", default=None,
+                        help="checkpoint to resume training from")
+    parser.add_argument("--maximum_disparity", type=int, default=255)
+    parser.add_argument("--number_of_validation_examples", type=int,
+                        default=500)
+    parser.add_argument("--end_epoch", type=int, default=10)
+    parser.add_argument("--learning_rate", type=float, default=1e-2)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="per-host batch size (data parallelism)")
+    parser.add_argument("--crop_height", type=int, default=None,
+                        help="random-crop height for uniform batches")
+    parser.add_argument("--crop_width", type=int, default=None)
+    parser.add_argument("--mesh_data", type=int, default=None,
+                        help="data-parallel mesh axis size")
+    parser.add_argument("--mesh_volume", type=int, default=1,
+                        help="cost-volume sharding mesh axis size")
+    parser.add_argument("--bfloat16", action="store_true",
+                        help="bfloat16 compute (params stay float32)")
+    parser.add_argument("--num_workers", type=int, default=3)
+    parser.add_argument("--small_split", action="store_true",
+                        help="use the 3000/300-example tuning split")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    os.makedirs(args.experiment_folder, exist_ok=True)
+
+    if args.small_split:
+        training_set, validation_set = FlyingThings3D.small_training_split(
+            args.dataset_folder)
+        config = models.PDSConfig(maximum_disparity=127)
+    else:
+        training_set, validation_set = FlyingThings3D.training_split(
+            args.dataset_folder, maximum_disparity=args.maximum_disparity,
+            number_of_validation_examples=(
+                args.number_of_validation_examples))
+        config = models.PDSConfig(maximum_disparity=args.maximum_disparity)
+
+    if args.crop_height and args.crop_width:
+        training_set.append_transformers(
+            [transforms.RandomCrop(args.crop_height, args.crop_width)])
+
+    mesh = None
+    if args.mesh_data or args.mesh_volume > 1:
+        mesh = make_mesh(data=args.mesh_data, volume=args.mesh_volume)
+
+    training_loader = Loader(
+        training_set, batch_size=args.batch_size, shuffle=True,
+        num_workers=args.num_workers, drop_last=args.batch_size > 1,
+        host_index=jax.process_index(), host_count=jax.process_count())
+    validation_loader = Loader(validation_set, batch_size=1,
+                               num_workers=args.num_workers)
+
+    params = models.init(jax.random.PRNGKey(0), config)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=params,
+        training_set_loader=training_loader,
+        test_set_loader=validation_loader,
+        experiment_folder=os.path.abspath(args.experiment_folder),
+        initial_learning_rate=args.learning_rate,
+        end_epoch=args.end_epoch,
+        compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
+        mesh=mesh)
+    if args.checkpoint_file:
+        trainer.load_checkpoint(os.path.abspath(args.checkpoint_file))
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

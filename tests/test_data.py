@@ -1,0 +1,217 @@
+"""Data pipeline tests: PFM IO, dataset discovery/splits/protocols, loader.
+
+Mirrors the reference's dataset test strategy
+(``test/test_flyingthings3d_dataset.py``, ``test/test_kitti_dataset.py``)
+against synthetic fixture trees: split/filter/protocol logic asserted on
+datasets with known properties.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from practicaldeepstereo_nips2018_tpu.data import (
+    Dataset, FlyingThings3D, Kitti, Loader, pfm, transforms)
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def flyingthings_root(tmp_path_factory):
+    return fixtures.make_flyingthings3d_tree(
+        str(tmp_path_factory.mktemp("flyingthings3d")))
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    return fixtures.make_kitti_tree(str(tmp_path_factory.mktemp("kitti")))
+
+
+def test_pfm_roundtrip(tmp_path):
+    image = np.random.RandomState(0).uniform(
+        0, 300, (7, 5)).astype(np.float32)
+    path = str(tmp_path / "test.pfm")
+    pfm.write_pfm(path, image)
+    assert np.array_equal(pfm.read_pfm(path), image)
+
+
+def test_find_examples_order_and_statistics(flyingthings_root):
+    from practicaldeepstereo_nips2018_tpu.data import flyingthings3d
+    examples = flyingthings3d.find_examples(flyingthings_root)
+    assert len(examples) == 4
+    # Deterministic sorted order: TEST/A, TEST/B, TRAIN/A, TRAIN/B.
+    order = [e["left"]["image"] for e in examples]
+    assert order == sorted(order)
+    # Statistics are computed and cached next to the PFMs.
+    assert examples[2]["maximum_disparity"] <= 41
+    assert examples[3]["minimum_disparity"] >= 0
+    cache_files = [
+        os.path.splitext(e["left"]["disparity_image"])[0] + ".npz"
+        for e in examples
+    ]
+    assert all(os.path.isfile(f) for f in cache_files)
+    # Cumulative distribution: TEST/B has ~40% pixels at 400 px.
+    test_b = examples[1]
+    above_300 = 100.0 - test_b["cumulative_distribution_from_0_to_511"][300]
+    assert 30.0 < above_300 < 50.0
+
+
+def test_training_split_filters(flyingthings_root):
+    training, validation = FlyingThings3D.training_split(
+        flyingthings_root, number_of_validation_examples=1,
+        maximum_disparity=100)
+    # Of the 2 TRAIN examples only the ~40 px one survives the filter.
+    assert len(training) + len(validation) == 1
+    example = (validation if len(validation) else training)[0]
+    assert example["left"]["image"].shape == (fixtures.HEIGHT,
+                                              fixtures.WIDTH, 3)
+    assert example["left"]["disparity_image"].max() <= 41
+    assert example["right"]["image"].dtype == np.float32
+
+
+def test_artifact_blacklist_expands_to_reference_list():
+    from practicaldeepstereo_nips2018_tpu.data import flyingthings3d
+    total = sum(last - first + 1 for first, last in
+                flyingthings3d.ARTIFACT_FRAMES.values())
+    assert total == 74  # reference flyingthings3d_dataset.py:16-57
+    assert flyingthings3d._is_example_with_artifacts(
+        "/data/TRAIN/B/0609/left/0010.png")
+    assert not flyingthings3d._is_example_with_artifacts(
+        "/data/TRAIN/B/0609/left/0009.png")
+    assert not flyingthings3d._is_example_with_artifacts(
+        "/data/TEST/B/0609/left/0010.png")
+
+
+def test_benchmark_protocols(flyingthings_root):
+    psm = FlyingThings3D.benchmark_dataset(flyingthings_root,
+                                           is_psm_protocol=True)
+    crl = FlyingThings3D.benchmark_dataset(flyingthings_root,
+                                           is_psm_protocol=False)
+    assert len(psm) == 2
+    assert len(crl) == 1
+    # PSM protocol masks ground truth above 192 px to inf.
+    for index in range(2):
+        disparity = psm[index]["left"]["disparity_image"]
+        finite = disparity[np.isfinite(disparity)]
+        assert finite.max() <= 192
+    large_example = [psm[i] for i in range(2)
+                     if np.isinf(psm[i]["left"]["disparity_image"]).any()]
+    assert len(large_example) == 1
+
+
+def test_masking_transform(flyingthings_root):
+    dataset = FlyingThings3D.benchmark_dataset(
+        flyingthings_root, is_psm_protocol=True, maximum_disparity=80)
+    for index in range(len(dataset)):
+        disparity = dataset[index]["left"]["disparity_image"]
+        finite = disparity[np.isfinite(disparity)]
+        assert finite.size == 0 or finite.max() <= 80
+
+
+def test_kitti_training_split(kitti_root):
+    training, validation = Kitti.training_split(
+        kitti_root, number_of_validation_examples=2)
+    assert len(training) == 2
+    assert len(validation) == 2
+    example = training[0]
+    disparity = example["left"]["disparity_image"]
+    assert disparity is not None
+    # Zeros (unknown band) became inf.
+    assert np.isinf(disparity).any()
+    finite = disparity[np.isfinite(disparity)]
+    assert finite.max() <= 231
+
+
+def test_kitti_reflective_merge(kitti_root):
+    training, validation = Kitti.training_split(
+        kitti_root, number_of_validation_examples=0)
+    # Find the 2012 example 000000 (has the reflective override band).
+    for index in range(len(training)):
+        files = training.example_files(index)
+        if ("data_stereo_flow" in files["left"]["image"]
+                and "000000" in files["left"]["image"]):
+            disparity = training[index]["left"]["disparity_image"]
+            assert np.all(disparity[8:12] == 77.0)
+            break
+    else:
+        pytest.fail("2012 example 000000 not found")
+
+
+def test_kitti_benchmark_has_no_ground_truth(kitti_root):
+    benchmark = Kitti.kitti2015_benchmark(kitti_root)
+    assert len(benchmark) == 2
+    assert benchmark[0]["left"]["disparity_image"] is None
+    benchmark2012 = Kitti.kitti2012_benchmark(kitti_root)
+    assert len(benchmark2012) == 2
+
+
+def test_central_crop():
+    example = {
+        "left": {"image": np.arange(8 * 10 * 3, dtype=np.float32)
+                 .reshape(8, 10, 3),
+                 "disparity_image": np.arange(80, dtype=np.float32)
+                 .reshape(8, 10)},
+        "right": {"image": np.zeros((8, 10, 3), np.float32)},
+    }
+    cropped = transforms.CentralCrop(4, 6)(example)
+    assert cropped["left"]["image"].shape == (4, 6, 3)
+    assert cropped["left"]["disparity_image"].shape == (4, 6)
+    assert cropped["left"]["disparity_image"][0, 0] == 22.0  # (2, 2) origin
+
+
+def test_pad_to_size():
+    example = {
+        "left": {"image": np.ones((4, 6, 3), np.float32),
+                 "disparity_image": np.ones((4, 6), np.float32)},
+        "right": {"image": np.ones((4, 6, 3), np.float32)},
+    }
+    padded = transforms.PadToSize(6, 8)(example)
+    assert padded["left"]["image"].shape == (6, 8, 3)
+    assert np.all(padded["left"]["image"][:2] == 0)
+    assert np.all(np.isinf(padded["left"]["disparity_image"][:2]))
+    assert np.all(padded["left"]["disparity_image"][2:, 2:] == 1)
+
+
+def test_loader_batching_and_shuffle(flyingthings_root):
+    dataset = FlyingThings3D.benchmark_dataset(flyingthings_root,
+                                               is_psm_protocol=True)
+    loader = Loader(dataset, batch_size=2, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 1
+    batch = batches[0]
+    assert batch["left"]["image"].shape == (2, fixtures.HEIGHT,
+                                            fixtures.WIDTH, 3)
+    assert batch["left"]["disparity_image"].shape == (2, fixtures.HEIGHT,
+                                                      fixtures.WIDTH)
+    # Deterministic epoch shuffling: same seed+epoch -> same order.
+    loader_a = Loader(dataset, batch_size=1, shuffle=True, seed=7)
+    loader_b = Loader(dataset, batch_size=1, shuffle=True, seed=7)
+    order_a = [b["left"]["image"].sum() for b in loader_a]
+    order_b = [b["left"]["image"].sum() for b in loader_b]
+    assert order_a == order_b
+    # Next epoch reshuffles.
+    order_c = [b["left"]["image"].sum() for b in loader_b]
+    assert set(order_a) == set(order_c)
+
+
+def test_loader_host_sharding(flyingthings_root):
+    dataset = FlyingThings3D.benchmark_dataset(flyingthings_root,
+                                               is_psm_protocol=True)
+    shard0 = Loader(dataset, host_index=0, host_count=2)
+    shard1 = Loader(dataset, host_index=1, host_count=2)
+    sums0 = [b["left"]["image"].sum() for b in shard0]
+    sums1 = [b["left"]["image"].sum() for b in shard1]
+    assert len(sums0) == 1 and len(sums1) == 1
+    assert sums0[0] != sums1[0]
+
+
+def test_dataset_subsample_and_split():
+    records = [{"left": {"image": str(i)}, "right": {"image": str(i)}}
+               for i in range(10)]
+    dataset = Dataset(records)
+    first, second = dataset.split_in_two(3)
+    assert len(first) == 3 and len(second) == 7
+    dataset.subsample(5, random_seed=0)
+    assert len(dataset) == 5
+    with pytest.raises(ValueError):
+        dataset.append_transformers("not-a-list")

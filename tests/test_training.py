@@ -1,0 +1,162 @@
+"""Training engine tests.
+
+* RMSprop parity against ``torch.optim.RMSprop`` over several steps.
+* MultiStepLR schedule semantics.
+* Checkpoint save/load roundtrip (full + network-only).
+* End-to-end integration mirroring the reference's
+  ``test/test_pds_trainer.py:25-93``: train on a synthetic fixture dataset,
+  checkpoint, resume into a fresh trainer for a third epoch, check that
+  training actually learns, then run ``.test()`` (exercises estimator,
+  metrics and visualization dumps).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from practicaldeepstereo_nips2018_tpu import models
+from practicaldeepstereo_nips2018_tpu.data import FlyingThings3D, Loader
+from practicaldeepstereo_nips2018_tpu.training import (
+    PDSTrainer, checkpoint, multistep_lr, rmsprop)
+from tests import fixtures
+
+
+def test_rmsprop_matches_torch():
+    import torch
+    torch.manual_seed(0)
+    parameter = torch.nn.Parameter(torch.randn(7))
+    torch_optimizer = torch.optim.RMSprop([parameter], lr=1e-2)
+    gradients = [torch.randn(7) for _ in range(5)]
+
+    # .copy(): torch steps mutate the parameter in place, and jnp.asarray of
+    # a numpy view can alias the same buffer on the CPU backend.
+    params = jnp.asarray(parameter.detach().numpy().copy())
+    optimizer = rmsprop()
+    opt_state = optimizer.init(params)
+    for gradient in gradients:
+        parameter.grad = gradient.clone()
+        torch_optimizer.step()
+        updates, opt_state = optimizer.update(
+            jnp.asarray(gradient.numpy().copy()), opt_state)
+        params = params - 1e-2 * updates
+    assert np.allclose(np.asarray(params), parameter.detach().numpy(),
+                       atol=1e-5)
+
+
+def test_multistep_lr():
+    schedule = multistep_lr(1e-2, milestones=(6, 7, 8, 9, 10), gamma=0.5)
+    assert schedule(0) == 1e-2
+    assert schedule(5) == 1e-2
+    assert schedule(6) == 0.5e-2
+    assert schedule(7) == 0.25e-2
+    assert np.isclose(schedule(10), 1e-2 * 0.5 ** 5)
+    assert np.isclose(schedule(12), 1e-2 * 0.5 ** 5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(4.0), "nested": {"b": jnp.ones((2, 3))}}
+    other = (jnp.zeros(2), jnp.full((1,), 5.0))
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_checkpoint(path, {"params": tree, "opt": other},
+                               {"epoch": 3, "losses": [1.0, 0.5]})
+    template = {"params": jax.tree.map(jnp.zeros_like, tree),
+                "opt": jax.tree.map(jnp.zeros_like, other)}
+    trees, metadata = checkpoint.load_checkpoint(path, template)
+    assert metadata["epoch"] == 3
+    assert metadata["losses"] == [1.0, 0.5]
+    assert np.array_equal(np.asarray(trees["params"]["a"]), np.arange(4.0))
+    assert np.array_equal(np.asarray(trees["opt"][1]), [5.0])
+    # Partial restore (network only).
+    partial, _ = checkpoint.load_checkpoint(
+        path, {"params": jax.tree.map(jnp.zeros_like, tree)})
+    assert np.array_equal(np.asarray(partial["params"]["nested"]["b"]),
+                          np.ones((2, 3)))
+
+
+@pytest.mark.slow
+def test_pds_trainer_end_to_end(tmp_path):
+    flyingthings_root = fixtures.make_flyingthings3d_tree(
+        str(tmp_path / "flyingthings3d"))
+    experiment_folder = str(tmp_path / "experiment")
+    os.makedirs(experiment_folder)
+
+    training_set, _ = FlyingThings3D.training_split(
+        flyingthings_root, number_of_validation_examples=0,
+        maximum_disparity=63)
+    assert len(training_set) == 1
+    validation_set = training_set
+
+    config = models.PDSConfig(maximum_disparity=63)
+    params = models.init(jax.random.PRNGKey(0), config)
+
+    def make_trainer(params, end_epoch):
+        return PDSTrainer(
+            network_config=config,
+            params=params,
+            training_set_loader=Loader(training_set, batch_size=1,
+                                       shuffle=True, num_workers=1),
+            test_set_loader=Loader(validation_set, batch_size=1,
+                                   num_workers=1),
+            experiment_folder=experiment_folder,
+            initial_learning_rate=1e-3,
+            end_epoch=end_epoch)
+
+    trainer = make_trainer(params, end_epoch=2)
+    trainer.train()
+    assert trainer.current_epoch == 2
+    assert len(trainer.training_losses) == 2
+    assert len(trainer.test_errors) == 2
+    checkpoint_file = checkpoint.checkpoint_filename(experiment_folder, 2)
+    assert os.path.isfile(checkpoint_file)
+    assert os.path.isfile(
+        checkpoint.checkpoint_filename(experiment_folder, 1))
+    assert os.path.isfile(os.path.join(experiment_folder, "log.txt"))
+    assert os.path.isfile(os.path.join(experiment_folder, "plot.png"))
+
+    # Resume into a FRESH trainer and continue to a third epoch
+    # (reference test_pds_trainer.py:78-93).
+    fresh_params = models.init(jax.random.PRNGKey(1), config)
+    resumed = make_trainer(fresh_params, end_epoch=3)
+    resumed.load_checkpoint(checkpoint_file)
+    assert resumed.current_epoch == 2
+    assert len(resumed.training_losses) == 2
+    resumed.train()
+    losses = resumed.training_losses
+    assert len(losses) == 3
+    # Training must actually learn on the overfit-one-example task.
+    assert losses[0] > losses[2]
+
+    # Full test pass: exercises estimator, metrics, visualization dumps.
+    errors, processing_time = resumed.test()
+    assert "mean_absolute_error" in errors
+    assert "three_pixels_error" in errors
+    assert processing_time > 0
+    assert os.path.isfile(
+        os.path.join(experiment_folder, "example_0001_image.png"))
+    assert os.path.isfile(
+        os.path.join(experiment_folder,
+                     "example_0001_disparity_ground_truth.png"))
+
+
+@pytest.mark.slow
+def test_trainer_load_only_network(tmp_path):
+    config = models.PDSConfig(maximum_disparity=63)
+    params = models.init(jax.random.PRNGKey(0), config)
+    trainer = PDSTrainer(network_config=config, params=params,
+                         experiment_folder=str(tmp_path))
+    trainer._save_checkpoint()
+    path = checkpoint.checkpoint_filename(str(tmp_path), 1)
+
+    other = PDSTrainer(network_config=config,
+                       params=models.init(jax.random.PRNGKey(9), config),
+                       experiment_folder=str(tmp_path))
+    other.load_checkpoint(path, load_only_network=True)
+    original = jax.tree.leaves(params)
+    restored = jax.tree.leaves(other.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(original, restored))
+    assert other.current_epoch == 0
