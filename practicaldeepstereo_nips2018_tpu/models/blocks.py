@@ -129,7 +129,7 @@ def conv(params: dict, x: jnp.ndarray, stride=1,
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride, padding=pad_config,
         dimension_numbers=_DIMENSION_NUMBERS[spatial_dims],
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
     return (out + params["b"]).astype(x.dtype)
 
 
@@ -154,7 +154,7 @@ def conv_transpose(params: dict, x: jnp.ndarray, stride,
         x, w.astype(x.dtype), window_strides=(1,) * spatial_dims,
         padding=pad_config, lhs_dilation=stride,
         dimension_numbers=_DIMENSION_NUMBERS[spatial_dims],
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
     return (out + params["b"]).astype(x.dtype)
 
 

@@ -71,12 +71,13 @@ def matching_head_planes(head_conv_params: dict,
     features = left_descriptor.shape[-1]
     w_left = w[:, :, :features, :]
     w_right = w[:, :, features:, :]
+    accumulator_dtype = jnp.promote_types(left_descriptor.dtype, jnp.float32)
 
     left_plane = lax.conv_general_dilated(
         left_descriptor, w_left.astype(left_descriptor.dtype),
         window_strides=(1, 1), padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=accumulator_dtype)
     left_plane = (left_plane + head_conv_params["b"]).astype(
         left_descriptor.dtype)
 
@@ -85,7 +86,7 @@ def matching_head_planes(head_conv_params: dict,
         right_descriptor, w_right.astype(right_descriptor.dtype),
         window_strides=(1, 1), padding=[(1, 1), (2, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(right_descriptor.dtype)
+        preferred_element_type=accumulator_dtype).astype(right_descriptor.dtype)
 
     # Right-edge correction plane: contribution of a single input column
     # through the kernel's rightmost tap, E[j] = sum_ky w[ky, -1] R[., j].
@@ -94,7 +95,7 @@ def matching_head_planes(head_conv_params: dict,
         right_descriptor, right_tap.astype(right_descriptor.dtype),
         window_strides=(1, 1), padding=[(1, 1), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(right_descriptor.dtype)
+        preferred_element_type=accumulator_dtype).astype(right_descriptor.dtype)
     return left_plane, right_plane_wide, edge_plane
 
 

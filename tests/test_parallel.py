@@ -1,0 +1,114 @@
+"""Multi-device sharding tests on the virtual 8-CPU-device platform.
+
+What the reference never had (it is single-GPU batch-1): assertions that the
+GSPMD-sharded programs — batch over ``data``, image/cost-volume W over
+``volume`` — produce the same numbers as the unsharded single-device run
+(SURVEY.md §4 calls this the required new test class).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from practicaldeepstereo_nips2018_tpu import models, ops
+from practicaldeepstereo_nips2018_tpu.parallel import make_mesh, sharding
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = models.PDSConfig(maximum_disparity=63)
+    params = models.init(jax.random.PRNGKey(0), config)
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    left = jax.random.uniform(keys[0], (2, 64, 128, 3)) * 255.0
+    right = jax.random.uniform(keys[1], (2, 64, 128, 3)) * 255.0
+    ground_truth = jax.random.uniform(keys[2], (2, 64, 128)) * 40.0
+    return config, params, left, right, ground_truth
+
+
+def test_mesh_axes():
+    mesh = make_mesh(data=4, volume=2)
+    assert mesh.axis_names == ("data", "volume")
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_sharded_forward_matches_unsharded(setup):
+    config, params, left, right, _ = setup
+    reference = models.apply(params, left, right, config)
+
+    mesh = make_mesh(data=2, volume=4)
+    batch_sharding = sharding.batch_sharding(mesh)
+    sharded = jax.jit(
+        lambda p, l, r: models.apply(p, l, r, config))(
+            jax.device_put(params, NamedSharding(mesh, P())),
+            jax.device_put(left, batch_sharding),
+            jax.device_put(right, batch_sharding))
+    # Tolerance: reduction-order float noise from instance-norm moments
+    # accumulated across W shards (~2e-4 observed on CPU).
+    assert np.allclose(np.asarray(sharded), np.asarray(reference),
+                       atol=1e-3), \
+        np.abs(np.asarray(sharded) - np.asarray(reference)).max()
+
+
+def test_sharded_infer_matches_unsharded(setup):
+    config, params, left, right, _ = setup
+    reference = models.infer(params, left, right, config)
+    mesh = make_mesh(data=2, volume=4)
+    batch_sharding = sharding.batch_sharding(mesh)
+    sharded = jax.jit(
+        lambda p, l, r: models.infer(p, l, r, config))(
+            jax.device_put(params, NamedSharding(mesh, P())),
+            jax.device_put(left, batch_sharding),
+            jax.device_put(right, batch_sharding))
+    assert np.allclose(np.asarray(sharded), np.asarray(reference), atol=1e-2)
+
+
+def test_sharded_loss_and_grads_match_unsharded():
+    # Width 512: after /4 embedding and four stride-2 hourglass levels the
+    # deepest volume is (1, 1, 8) — NOT degenerate. (At tiny widths the
+    # deepest instance norm runs over ~2 elements; its backward is then so
+    # ill-conditioned that mere float reduction-order changes — sharded or
+    # not — blow up. Measured against float64 ground truth at this size,
+    # sharded and unsharded gradients both deviate ~7e-5.)
+    config = models.PDSConfig(maximum_disparity=63)
+    params = models.init(jax.random.PRNGKey(0), config)
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    left = jax.random.uniform(keys[0], (2, 64, 512, 3)) * 255.0
+    right = jax.random.uniform(keys[1], (2, 64, 512, 3)) * 255.0
+    ground_truth = jax.random.uniform(keys[2], (2, 64, 512)) * 40.0
+
+    def loss_fn(p, l, r, gt):
+        similarities = models.apply(p, l, r, config)
+        return ops.subpixel_cross_entropy(similarities, gt, disparity_step=2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    ref_loss, ref_grads = step(params, left, right, ground_truth)
+    mesh = make_mesh(data=2, volume=4)
+    batch_sharding = sharding.batch_sharding(mesh)
+    sharded_loss, sharded_grads = step(
+        jax.device_put(params, NamedSharding(mesh, P())),
+        jax.device_put(left, batch_sharding),
+        jax.device_put(right, batch_sharding),
+        jax.device_put(ground_truth,
+                       NamedSharding(mesh, sharding.disparity_map_spec())))
+    assert np.isclose(float(sharded_loss), float(ref_loss), atol=1e-4)
+    worst = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(ref_grads),
+                        jax.tree.leaves(sharded_grads)))
+    assert worst < 1e-3, f"worst grad deviation {worst}"
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    assert compiled is not None
