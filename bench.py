@@ -7,12 +7,11 @@ sub-pixel MAP estimator) — the reference measures 0.62 s/image on an
 unspecified GPU (``/root/reference/README.md:37-39``, timing loop at
 ``trainer.py:141-148``).
 
-Measurement method: the forward pass runs inside a single jitted
-``lax.fori_loop`` with a carried dependency (so XLA cannot hoist it) and a
-scalar output (so completion is forced by the host fetch). The per-image
-time is the slope between two loop lengths, which cancels the fixed
-dispatch/fetch overhead of the device transport. The loop length is a
-runtime argument — one compilation total.
+Measurement method: the jitted forward (with a scalar mean output) is
+dispatched N times and completion is forced by fetching the final scalar;
+the per-image time is the slope between two values of N, which cancels the
+fixed dispatch/fetch overhead of the device transport. One compilation
+total.
 
 Prints ONE JSON line:
     {"metric": "time_per_image", "value": <sec>, "unit": "s",
@@ -50,25 +49,21 @@ def main():
                                jnp.float32) * 255.0
 
     @jax.jit
-    def run(params, left, right, iterations):
-        def body(_, carry):
-            # Carried dependency: perturb the input by a term that is zero
-            # in value but data-dependent, so the loop body cannot be
-            # hoisted or CSE'd away.
-            perturbed_left = left + carry * 1e-30
-            disparity = models.infer(params, perturbed_left, right, config,
-                                     compute_dtype=jnp.bfloat16)
-            return jnp.mean(disparity)
+    def run(params, left, right):
+        disparity = models.infer(params, left, right, config,
+                                 compute_dtype=jnp.bfloat16)
+        return jnp.mean(disparity)
 
-        return jax.lax.fori_loop(0, iterations, body,
-                                 jnp.float32(0.0))
-
-    # Warmup / compile.
-    float(run(params, left, right, 1))
+    # Warmup / compile. The scalar fetch forces completion (on relayed
+    # device transports block_until_ready alone can return early).
+    float(run(params, left, right))
 
     def timed(iterations: int) -> float:
         start = time.perf_counter()
-        float(run(params, left, right, iterations))
+        out = None
+        for _ in range(iterations):
+            out = run(params, left, right)
+        float(out)
         return time.perf_counter() - start
 
     slopes = []

@@ -7,6 +7,10 @@ from practicaldeepstereo_nips2018_tpu.parallel.mesh import (
     single_device_mesh,
 )
 from practicaldeepstereo_nips2018_tpu.parallel import sharding
+from practicaldeepstereo_nips2018_tpu.parallel.runtime import (
+    initialize_distributed,
+    topology,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -14,4 +18,6 @@ __all__ = [
     "make_mesh",
     "single_device_mesh",
     "sharding",
+    "initialize_distributed",
+    "topology",
 ]
