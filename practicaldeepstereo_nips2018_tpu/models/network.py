@@ -24,6 +24,7 @@ specialization.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,12 @@ class PDSConfig:
     estimator_half_support_window: int = 4
     disparity_step: int = 2
     minimum_size: int = 64
+    # Rematerialization: recompute the matching stage and each hourglass
+    # block in the backward pass instead of storing their activations. At
+    # full resolution the training-mode cost-volume activations dominate HBM
+    # (SURVEY §7 hard part #1); remat trades ~1 extra forward of those
+    # stages for O(stage inputs) memory.
+    remat: bool = False
 
     def __post_init__(self):
         validate_maximum_disparity(self.maximum_disparity)
@@ -144,11 +151,22 @@ def apply(params: dict,
     left_descriptor, shortcut_from_left = embedding.apply(
         params["embedding"], left)
     right_descriptor, _ = embedding.apply(params["embedding"], right)
-    signatures = matching.apply(params["matching"], left_descriptor,
-                                right_descriptor,
-                                config.matching_maximum_disparity)
-    similarities = regularization.apply(params["regularization"], signatures,
-                                        shortcut_from_left)
+    matching_fn = matching.apply
+    regularization_fn = functools.partial(regularization.apply,
+                                          remat=config.remat)
+    if config.remat:
+        matching_fn = jax.checkpoint(
+            functools.partial(
+                matching.apply,
+                maximum_disparity=config.matching_maximum_disparity))
+        signatures = matching_fn(params["matching"], left_descriptor,
+                                 right_descriptor)
+    else:
+        signatures = matching_fn(params["matching"], left_descriptor,
+                                 right_descriptor,
+                                 config.matching_maximum_disparity)
+    similarities = regularization_fn(params["regularization"], signatures,
+                                     shortcut_from_left)
     similarities = similarities.astype(input_dtype)
     return pad_ops.unpad(similarities, height, width, spatial_axes=(1, 2))
 

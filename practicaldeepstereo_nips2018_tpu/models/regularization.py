@@ -206,7 +206,8 @@ def _upsample_to_fullsize_folded(params: dict, folded: jnp.ndarray,
 
 def apply(params: dict,
           matching_signatures: jnp.ndarray,
-          shortcut_from_left_image: jnp.ndarray) -> jnp.ndarray:
+          shortcut_from_left_image: jnp.ndarray,
+          remat: bool = False) -> jnp.ndarray:
     """Returns regularized similarities for even disparities.
 
     Args:
@@ -219,6 +220,14 @@ def apply(params: dict,
         disparity ``2*d`` pixels (the network upsamples disparity 2x from
         quarter resolution, spatial 4x; reference ``regularization.py:60-72``).
     """
+    contraction_fn = contraction_block
+    expansion_fn = expansion_block
+    halfsize_fn = _upsample_to_halfsize_folded
+    if remat:
+        contraction_fn = jax.checkpoint(contraction_block)
+        expansion_fn = jax.checkpoint(expansion_block)
+        halfsize_fn = jax.checkpoint(_upsample_to_halfsize_folded)
+
     # Depth-1 volume broadcast along disparities at each contraction input.
     shortcut = shortcut_from_left_image[:, None]
     output = blocks.conv_block(params["smoothing"], matching_signatures)
@@ -226,17 +235,16 @@ def apply(params: dict,
     shortcuts_from_contraction = []
     for index in range(NUMBER_OF_SCALES):
         shortcuts_from_contraction.append(output)
-        shortcut, output = contraction_block(
+        shortcut, output = contraction_fn(
             params[f"contraction{index + 1}"], shortcut + output)
 
     for index in range(NUMBER_OF_SCALES):
-        output = expansion_block(params[f"expansion{index + 1}"], output,
-                                 shortcuts_from_contraction.pop())
+        output = expansion_fn(params[f"expansion{index + 1}"], output,
+                              shortcuts_from_contraction.pop())
 
     # Final upsampling runs depth-folded (see module docstring) and lands
     # directly in disparity-last [B, H, W, 2D'] layout.
     depth_levels = 2 * output.shape[1]
-    folded = _upsample_to_halfsize_folded(params["upsample_to_halfsize"],
-                                          output)
+    folded = halfsize_fn(params["upsample_to_halfsize"], output)
     return _upsample_to_fullsize_folded(params["upsample_to_fullsize"],
                                         folded, depth_levels)

@@ -108,3 +108,27 @@ def test_network_is_jittable_and_differentiable():
     # Gradients must reach every parameter group.
     total = sum(float(jnp.sum(jnp.abs(leaf))) for leaf in leaves)
     assert total > 0.0
+
+
+def test_remat_config_matches_values():
+    config = network.PDSConfig(maximum_disparity=63, remat=True)
+    baseline = network.PDSConfig(maximum_disparity=63)
+    params = network.init(jax.random.PRNGKey(0), baseline)
+    left = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 255
+    right = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3)) * 255
+    gt = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64)) * 40.0
+
+    from practicaldeepstereo_nips2018_tpu import ops as pds_ops
+
+    def loss(p, cfg):
+        return pds_ops.subpixel_cross_entropy(
+            network.apply(p, left, right, cfg), gt)
+
+    value_base, grads_base = jax.value_and_grad(loss)(params, baseline)
+    value_remat, grads_remat = jax.value_and_grad(loss)(params, config)
+    assert np.isclose(float(value_base), float(value_remat), atol=1e-6)
+    worst = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(grads_base),
+                        jax.tree.leaves(grads_remat)))
+    assert worst < 1e-4, worst
