@@ -135,8 +135,36 @@ def _folders_with_left_images(images_folder: str) -> list[str]:
     return sorted(folders)
 
 
+def _scan_missing_statistics_native(missing_files: list[str],
+                                    cache_folder: str | None) -> set[str]:
+    """Computes statistics for ``missing_files`` with the C++ scanner
+    (``native/pfm_stats.cpp``) and writes the .npz caches. Returns the set
+    of files successfully scanned (others fall back to the Python path)."""
+    from practicaldeepstereo_nips2018_tpu.data import native
+    results = native.scan_disparity_statistics(missing_files)
+    if results is None:
+        return set()
+    minimums, maximums, cumulatives, status = results
+    done = set()
+    for index, disparity_file in enumerate(missing_files):
+        if status[index] != 0:
+            continue
+        statistic_file = _statistic_filename(disparity_file, cache_folder)
+        try:
+            np.savez(statistic_file,
+                     minimum_disparity=int(minimums[index]),
+                     maximum_disparity=int(maximums[index]),
+                     cumulative_distribution=cumulatives[index]
+                     .astype(np.float64))
+        except OSError:
+            continue
+        done.add(disparity_file)
+    return done
+
+
 def find_examples(dataset_folder: str,
-                  cache_folder: str | None = None) -> list[dict]:
+                  cache_folder: str | None = None,
+                  use_native_scanner: bool = True) -> list[dict]:
     """Returns FlyingThings3D example records in deterministic order.
 
     Args:
@@ -144,6 +172,8 @@ def find_examples(dataset_folder: str,
             images) and ``disparity`` (PFM ground truth).
         cache_folder: optional directory for disparity-statistic files
             (default: next to each PFM, like the reference).
+        use_native_scanner: batch-compute missing statistics with the
+            multithreaded C++ scanner before falling back to Python.
 
     Each record carries image/disparity paths plus ``minimum_disparity``,
     ``maximum_disparity`` and ``cumulative_distribution_from_0_to_511``.
@@ -153,7 +183,8 @@ def find_examples(dataset_folder: str,
     disparity_folder = os.path.join(dataset_folder, "disparity")
     if cache_folder is not None:
         os.makedirs(cache_folder, exist_ok=True)
-    examples = []
+
+    records = []
     for folder in _folders_with_left_images(images_folder):
         png_files = sorted(
             name for name in os.listdir(folder) if name.endswith(".png"))
@@ -166,21 +197,35 @@ def find_examples(dataset_folder: str,
             disparity_image_file = os.path.join(
                 disparity_folder,
                 os.path.splitext(relative)[0] + ".pfm")
-            statistic = _load_or_compute_statistic(disparity_image_file,
-                                                   cache_folder)
-            examples.append({
-                "left": {
-                    "image": left_image_file,
-                    "disparity_image": disparity_image_file,
-                },
-                "right": {
-                    "image": right_image_file
-                },
-                "minimum_disparity": statistic["minimum_disparity"],
-                "maximum_disparity": statistic["maximum_disparity"],
-                "cumulative_distribution_from_0_to_511":
-                    statistic["cumulative_distribution"],
-            })
+            records.append((left_image_file, right_image_file,
+                            disparity_image_file))
+
+    if use_native_scanner:
+        missing = [
+            disparity for _, _, disparity in records
+            if not os.path.isfile(_statistic_filename(disparity,
+                                                      cache_folder))
+        ]
+        if missing:
+            _scan_missing_statistics_native(missing, cache_folder)
+
+    examples = []
+    for left_image_file, right_image_file, disparity_image_file in records:
+        statistic = _load_or_compute_statistic(disparity_image_file,
+                                               cache_folder)
+        examples.append({
+            "left": {
+                "image": left_image_file,
+                "disparity_image": disparity_image_file,
+            },
+            "right": {
+                "image": right_image_file
+            },
+            "minimum_disparity": statistic["minimum_disparity"],
+            "maximum_disparity": statistic["maximum_disparity"],
+            "cumulative_distribution_from_0_to_511":
+                statistic["cumulative_distribution"],
+        })
     return examples
 
 

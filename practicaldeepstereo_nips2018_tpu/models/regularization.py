@@ -30,32 +30,29 @@ Two load-bearing details, both reproduced exactly:
   added after each expansion's upsampling (reference
   ``regularization.py:115-123``).
 
-Output layout: [B, H, W, (D+1)/2] — disparity LAST (lane dimension), ready
-for the softmax/argmax of the estimator and loss. The reference returns
-[B, (D+1)/2, H, W].
+TPU execution — the ENTIRE hourglass runs in DEPTH-FOLDED layout
+(``ops/folded3d.py``): volumes live as [B, H, W, D*C] with the disparity
+axis folded into the 128-wide lane dimension (D*C is ~constant at 384+
+across levels), and every 3D (transposed) convolution is one dense 2D
+spatial convolution with a banded depth-mixing channel matrix. Rationale:
+NDHWC cost-volume tensors have tiny channel counts (8..128, then 4 and 1 in
+the upsamplers) that TPU lane tiling pads up to 128 — measured 16-128x
+memory waste, a 27 GB intermediate and compile-time OOM at 960x540.
+Equivalence with the plain NDHWC composition is pinned by tests
+(``tests/test_folded_upsampling.py``).
 
-TPU layout note — the final two stages run in DEPTH-FOLDED layout. The
-upsamplers shrink channels to 4 and then 1; a [.., H, W, 1] tensor on TPU
-pads its minor dimension to the 128-wide lane tile, a 128x memory blowup
-that OOMs at full resolution (observed: a 27 GB conv intermediate for a
-212 MB logical tensor). Instead the volume is reshaped to
-[B, H, W, D*C] — depth folded into the lane dimension (D*C = 384+ lanes,
-perfectly tiled) — and each 3D transposed conv is decomposed exactly into
-its depth taps: per tap, a GROUPED spatial 2D transposed conv
-(``feature_group_count`` = depth levels, kernel shared across depths) plus a
-zero-padded shift along the folded depth blocks. Outputs interleave depth
-parities for the stride-2 depth upsampling. The decomposition is exact
-(validated against the dense ``conv_transpose`` in tests) and leaves the
-result directly in disparity-last [B, H, W, D] form.
+Output layout: [B, H, W, (D+1)/2] — disparity LAST, ready for the
+softmax/argmax of the estimator and loss. The reference returns
+[B, (D+1)/2, H, W].
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from practicaldeepstereo_nips2018_tpu.models import blocks
+from practicaldeepstereo_nips2018_tpu.ops import folded3d
 
 NUMBER_OF_SCALES = 4
 _CONTRACTION_WIDTH_SCALES = (1, 2, 4, 8)
@@ -100,6 +97,12 @@ def init(key, number_of_features: int = 8, dtype=jnp.float32) -> dict:
     return params
 
 
+# ---------------------------------------------------------------------------
+# Plain NDHWC blocks (shape-contract reference; the folded path below is the
+# execution path and is pinned to these in tests)
+# ---------------------------------------------------------------------------
+
+
 def contraction_block(params: dict, x: jnp.ndarray):
     """Stride-2 downsampling + smoothing; returns (pre_smooth, smoothed)."""
     down = blocks.conv_block(params["down"], x, stride=2)
@@ -114,94 +117,34 @@ def expansion_block(params: dict, x: jnp.ndarray,
                              up + shortcut_from_contraction)
 
 
+def apply_ndhwc(params: dict,
+                matching_signatures: jnp.ndarray,
+                shortcut_from_left_image: jnp.ndarray) -> jnp.ndarray:
+    """Straightforward NDHWC composition of the hourglass (reference
+    semantics, 1:1 with ``regularization.py:94-126``). Used as the
+    equivalence oracle for the folded execution path; not the layout to run
+    on TPU."""
+    shortcut = shortcut_from_left_image[:, None]
+    output = blocks.conv_block(params["smoothing"], matching_signatures)
+    skips = []
+    for index in range(NUMBER_OF_SCALES):
+        skips.append(output)
+        shortcut, output = contraction_block(
+            params[f"contraction{index + 1}"], shortcut + output)
+    for index in range(NUMBER_OF_SCALES):
+        output = expansion_block(params[f"expansion{index + 1}"], output,
+                                 skips.pop())
+    folded = folded3d.fold(output)
+    depth = output.shape[1]
+    folded, depth = folded3d.conv_transpose_block3d_folded(
+        params["upsample_to_halfsize"], folded, depth)
+    return folded3d.anisotropic_fullsize_transpose(
+        params["upsample_to_fullsize"], folded, depth)
+
+
 # ---------------------------------------------------------------------------
-# Depth-folded upsampling stages (see module docstring)
+# Folded execution path
 # ---------------------------------------------------------------------------
-
-
-def _spatial_transpose_dense(folded: jnp.ndarray,
-                             kernel_2d: jnp.ndarray) -> jnp.ndarray:
-    """Spatial 4x4 stride-2 transposed conv over folded channels."""
-    return lax.conv_general_dilated(
-        folded, kernel_2d.astype(folded.dtype), window_strides=(1, 1),
-        padding=[(2, 2), (2, 2)], lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.promote_types(folded.dtype, jnp.float32),
-    ).astype(folded.dtype)
-
-
-def _banded_depth_kernel(weight: jnp.ndarray, depth_in: int, depth_out: int,
-                         depth_stride: int, depth_pad: int) -> jnp.ndarray:
-    """Builds a dense 2D kernel encoding the banded depth mixing of a 3D
-    transposed conv over folded channels.
-
-    In the gather convention (input depth-dilated by ``depth_stride``, padded
-    ``kd - 1 - depth_pad``), output depth ``o`` draws input depth ``i``
-    through depth tap ``j = depth_stride*i - o + (kd - 1 - depth_pad)`` when
-    ``0 <= j < kd``. All other (i, o) pairs are zero — the FLOP waste of the
-    dense form is acceptable because these layers are a tiny fraction of the
-    network's compute, while the dense 384-wide channel dim keeps TPU lane
-    tiling exact (the per-depth grouped form materializes pathological
-    [..., D, 1] layouts that OOM at full resolution).
-
-    Args:
-        weight: [kd, kh, kw, cin, cout] 3D transposed kernel (gather order).
-    Returns:
-        [kh, kw, depth_in * cin, depth_out * cout] dense spatial kernel.
-    """
-    kd, kh, kw, cin, cout = weight.shape
-    i_index = jnp.arange(depth_in)[:, None]
-    o_index = jnp.arange(depth_out)[None, :]
-    j = depth_stride * i_index - o_index + (kd - 1 - depth_pad)
-    valid = (j >= 0) & (j < kd)
-    taps = weight[jnp.clip(j, 0, kd - 1)]  # [Din, Dout, kh, kw, cin, cout]
-    taps = jnp.where(valid[..., None, None, None, None], taps, 0.0)
-    # -> [kh, kw, Din, cin, Dout, cout] -> [kh, kw, Din*cin, Dout*cout]
-    taps = jnp.transpose(taps, (2, 3, 0, 4, 1, 5))
-    return taps.reshape(kh, kw, depth_in * cin, depth_out * cout)
-
-
-def _upsample_to_halfsize_folded(params: dict, volume: jnp.ndarray
-                                 ) -> jnp.ndarray:
-    """4x4x4 stride-2 transposed conv block (C->C/2) in depth-folded layout.
-
-    Input [B, D, H, W, C]; output folded [B, 2H, 2W, 2D*(C/2)]. Exactly
-    equals ``blocks.conv_transpose_block(..., stride=2, padding=1)``.
-    """
-    weight = params["conv"]["w"]  # [4, 4, 4, C, C/2]
-    bias = params["conv"]["b"]
-    batch, depth, height, width, channels = volume.shape
-    out_channels = weight.shape[-1]
-    folded = jnp.moveaxis(volume, 1, 3).reshape(batch, height, width,
-                                                depth * channels)
-    kernel = _banded_depth_kernel(weight, depth, 2 * depth,
-                                  depth_stride=2, depth_pad=1)
-    out = _spatial_transpose_dense(folded, kernel)
-    out = out + jnp.tile(bias, (2 * depth,)).astype(out.dtype)
-    # LeakyReLU + instance norm (stats per (sample, channel) over D, H, W).
-    out = blocks.leaky_relu(out)
-    five_d = out.reshape(batch, 2 * height, 2 * width, 2 * depth,
-                         out_channels)
-    mean = jnp.mean(five_d, axis=(1, 2, 3), keepdims=True)
-    centered = five_d - mean
-    variance = jnp.mean(jnp.square(centered), axis=(1, 2, 3), keepdims=True)
-    normalized = centered * lax.rsqrt(variance + blocks.INSTANCE_NORM_EPS)
-    normalized = (normalized * params["norm"]["scale"] +
-                  params["norm"]["bias"])
-    return normalized.reshape(batch, 2 * height, 2 * width,
-                              2 * depth * out_channels).astype(folded.dtype)
-
-
-def _upsample_to_fullsize_folded(params: dict, folded: jnp.ndarray,
-                                 depth_levels: int) -> jnp.ndarray:
-    """Raw anisotropic (3,4,4)/(1,2,2) transposed conv (C->1) in folded
-    layout: [B, H, W, D*C] -> disparity-last similarities [B, 2H, 2W, D]."""
-    weight = params["w"]  # [3, 4, 4, C, 1]
-    bias = params["b"]
-    kernel = _banded_depth_kernel(weight, depth_levels, depth_levels,
-                                  depth_stride=1, depth_pad=1)
-    out = _spatial_transpose_dense(folded, kernel)
-    return out + bias.astype(out.dtype)
 
 
 def apply(params: dict,
@@ -214,37 +157,64 @@ def apply(params: dict,
         matching_signatures: [B, D', H/4, W/4, C] cost volume (D' = disparity
             levels at quarter resolution).
         shortcut_from_left_image: [B, H/4, W/4, C] left descriptor shortcut.
+        remat: recompute each hourglass block in the backward pass.
 
     Returns:
         [B, H, W, 2*D'] similarities — element d along the last axis scores
         disparity ``2*d`` pixels (the network upsamples disparity 2x from
         quarter resolution, spatial 4x; reference ``regularization.py:60-72``).
     """
-    contraction_fn = contraction_block
-    expansion_fn = expansion_block
-    halfsize_fn = _upsample_to_halfsize_folded
-    if remat:
-        contraction_fn = jax.checkpoint(contraction_block)
-        expansion_fn = jax.checkpoint(expansion_block)
-        halfsize_fn = jax.checkpoint(_upsample_to_halfsize_folded)
+    maybe_remat = jax.checkpoint if remat else (lambda fn: fn)
 
-    # Depth-1 volume broadcast along disparities at each contraction input.
-    shortcut = shortcut_from_left_image[:, None]
-    output = blocks.conv_block(params["smoothing"], matching_signatures)
+    depth = matching_signatures.shape[1]
+    output = folded3d.fold(matching_signatures)
+    shortcut = folded3d.broadcast_shortcut(shortcut_from_left_image, depth)
 
-    shortcuts_from_contraction = []
+    def smoothing_folded(p, x, level_depth=depth):
+        return folded3d.conv_block3d_folded(p, x, level_depth)[0]
+
+    output = maybe_remat(smoothing_folded)(params["smoothing"], output)
+    # depth unchanged: 3x3x3 stride 1.
+
+    skips = []
     for index in range(NUMBER_OF_SCALES):
-        shortcuts_from_contraction.append(output)
-        shortcut, output = contraction_fn(
-            params[f"contraction{index + 1}"], shortcut + output)
+        skips.append((output, depth))
+        level_depth = depth
+        block_params = params[f"contraction{index + 1}"]
+
+        def contraction_folded(p, summed, level_depth=level_depth):
+            down, down_depth = folded3d.conv_block3d_folded(
+                p["down"], summed, level_depth, stride=2)
+            smoothed, _ = folded3d.conv_block3d_folded(
+                p["smooth"], down, down_depth)
+            return down, smoothed
+
+        shortcut, output = maybe_remat(contraction_folded)(
+            block_params, shortcut + output)
+        depth = (level_depth + 2 - 3) // 2 + 1
 
     for index in range(NUMBER_OF_SCALES):
-        output = expansion_fn(params[f"expansion{index + 1}"], output,
-                              shortcuts_from_contraction.pop())
+        level_depth = depth
+        block_params = params[f"expansion{index + 1}"]
+        skip, skip_depth = skips.pop()
 
-    # Final upsampling runs depth-folded (see module docstring) and lands
-    # directly in disparity-last [B, H, W, 2D'] layout.
-    depth_levels = 2 * output.shape[1]
-    folded = halfsize_fn(params["upsample_to_halfsize"], output)
-    return _upsample_to_fullsize_folded(params["upsample_to_fullsize"],
-                                        folded, depth_levels)
+        def expansion_folded(p, x, skip, level_depth=level_depth,
+                             skip_depth=skip_depth):
+            up, up_depth = folded3d.conv_transpose_block3d_folded(
+                p["up"], x, level_depth)
+            smoothed, _ = folded3d.conv_block3d_folded(
+                p["smooth"], up + skip, up_depth)
+            return smoothed
+
+        output = maybe_remat(expansion_folded)(block_params, output, skip)
+        depth = skip_depth
+
+    def final_upsampling(p_half, p_full, x, level_depth=depth):
+        folded, half_depth = folded3d.conv_transpose_block3d_folded(
+            p_half, x, level_depth)
+        return folded3d.anisotropic_fullsize_transpose(p_full, folded,
+                                                       half_depth)
+
+    return maybe_remat(final_upsampling)(
+        params["upsample_to_halfsize"], params["upsample_to_fullsize"],
+        output)

@@ -1,0 +1,185 @@
+"""Depth-folded 3D convolutions: the TPU-native cost-volume conv layer.
+
+Motivation. The hourglass regularization network convolves 5-D cost volumes
+whose channel counts are tiny (8..128, and 4/1 in the upsamplers). On TPU
+the minor-most dimension is tiled to 128 lanes, so NDHWC tensors with C=8
+waste 16x memory bandwidth — and C=1 intermediates explode 128x (a 27 GB
+buffer at full resolution, measured). Benchmarked end-to-end, the NDHWC
+hourglass dominates the forward pass.
+
+Design. Fold the disparity (depth) axis into the lane dimension:
+
+    [B, D, H, W, C]  ->  [B, H, W, D*C]
+
+``D*C`` is ~constant across hourglass levels (each contraction halves D and
+doubles C), 384 lanes for the default D'=48 — perfectly tiled. Every 3-D
+convolution then becomes ONE dense 2-D spatial convolution whose channel
+matrix encodes the banded depth mixing: output depth block ``o`` draws input
+depth block ``i`` through depth tap ``j`` with
+
+    forward conv:       j = i - stride*o + pad            (0 <= j < kd)
+    transposed conv:    j = stride*i - o + (kd-1-pad)     (0 <= j < kd)
+
+(the transposed relation is the gather convention of
+``models/blocks.py::conv_transpose``: input depth-dilated by ``stride``,
+padded ``kd-1-pad``). All other (i, o) pairs are zero. The dense form wastes
+~D/kd of the MACs on structural zeros, but these layers are a small share of
+total FLOPs and the dense 384x384 channel matmul runs at full MXU
+utilization — measured, it beats the lane-padded NDHWC form by an order of
+magnitude. (A Pallas block-sparse kernel can reclaim the structural zeros
+later without changing this interface.)
+
+Instance norm in folded layout normalizes per (sample, channel) over
+(D, H, W) — bit-equal to the NDHWC form.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from practicaldeepstereo_nips2018_tpu.models import blocks
+
+
+def fold(volume: jnp.ndarray) -> jnp.ndarray:
+    """[B, D, H, W, C] -> [B, H, W, D*C]."""
+    batch, depth, height, width, channels = volume.shape
+    return jnp.moveaxis(volume, 1, 3).reshape(batch, height, width,
+                                              depth * channels)
+
+
+def unfold(folded: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """[B, H, W, D*C] -> [B, D, H, W, C]."""
+    batch, height, width, merged = folded.shape
+    channels = merged // depth
+    return jnp.moveaxis(
+        folded.reshape(batch, height, width, depth, channels), 3, 1)
+
+
+def banded_kernel(weight: jnp.ndarray, depth_in: int, depth_out: int,
+                  depth_stride: int, depth_pad: int,
+                  transposed: bool) -> jnp.ndarray:
+    """Dense [kh, kw, Din*cin, Dout*cout] kernel with banded depth mixing.
+
+    Args:
+        weight: [kd, kh, kw, cin, cout] 3-D kernel (gather order).
+    """
+    kd, kh, kw, cin, cout = weight.shape
+    i_index = jnp.arange(depth_in)[:, None]
+    o_index = jnp.arange(depth_out)[None, :]
+    if transposed:
+        j = depth_stride * i_index - o_index + (kd - 1 - depth_pad)
+    else:
+        j = i_index - depth_stride * o_index + depth_pad
+    valid = (j >= 0) & (j < kd)
+    taps = weight[jnp.clip(j, 0, kd - 1)]  # [Din, Dout, kh, kw, cin, cout]
+    taps = jnp.where(valid[..., None, None, None, None], taps, 0.0)
+    taps = jnp.transpose(taps, (2, 3, 0, 4, 1, 5))
+    return taps.reshape(kh, kw, depth_in * cin, depth_out * cout)
+
+
+def conv3d_folded(params: dict, folded: jnp.ndarray, depth_in: int,
+                  stride: int = 1) -> tuple[jnp.ndarray, int]:
+    """3x3x3 convolution (pad 1) on a depth-folded tensor.
+
+    Args:
+        params: {'w': [3, 3, 3, cin, cout], 'b': [cout]}.
+        folded: [B, H, W, depth_in * cin].
+    Returns:
+        ([B, H', W', depth_out * cout], depth_out); spatial/depth follow the
+        torch shape rule ``floor((n + 2 - 3)/stride) + 1``.
+    """
+    weight = params["w"]
+    depth_out = (depth_in + 2 - weight.shape[0]) // stride + 1
+    kernel = banded_kernel(weight, depth_in, depth_out, stride, 1,
+                           transposed=False)
+    out = lax.conv_general_dilated(
+        folded, kernel.astype(folded.dtype), window_strides=(stride, stride),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.promote_types(folded.dtype, jnp.float32),
+    ).astype(folded.dtype)
+    out = out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
+    return out, depth_out
+
+
+def conv_transpose3d_folded(params: dict, folded: jnp.ndarray,
+                            depth_in: int, kernel_size: int = 4,
+                            stride: int = 2,
+                            padding: int = 1) -> tuple[jnp.ndarray, int]:
+    """Transposed 3-D conv (isotropic kernel/stride) on a folded tensor.
+
+    Output depth/size follow the torch rule ``(n-1)*s - 2p + k``.
+    """
+    weight = params["w"]
+    depth_out = (depth_in - 1) * stride - 2 * padding + weight.shape[0]
+    kernel = banded_kernel(weight, depth_in, depth_out, stride, padding,
+                           transposed=True)
+    spatial_pad = kernel_size - 1 - padding
+    out = lax.conv_general_dilated(
+        folded, kernel.astype(folded.dtype), window_strides=(1, 1),
+        padding=[(spatial_pad, spatial_pad)] * 2, lhs_dilation=(stride,
+                                                                stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.promote_types(folded.dtype, jnp.float32),
+    ).astype(folded.dtype)
+    out = out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
+    return out, depth_out
+
+
+def instance_norm_folded(folded: jnp.ndarray, depth: int,
+                         params: dict | None = None) -> jnp.ndarray:
+    """Affine instance norm: per (sample, channel) moments over (H, W, D)."""
+    batch, height, width, merged = folded.shape
+    channels = merged // depth
+    five_d = folded.reshape(batch, height, width, depth, channels)
+    mean = jnp.mean(five_d, axis=(1, 2, 3), keepdims=True)
+    centered = five_d - mean
+    variance = jnp.mean(jnp.square(centered), axis=(1, 2, 3), keepdims=True)
+    normalized = centered * lax.rsqrt(variance + blocks.INSTANCE_NORM_EPS)
+    if params is not None:
+        normalized = normalized * params["scale"] + params["bias"]
+    return normalized.reshape(batch, height, width, merged).astype(
+        folded.dtype)
+
+
+def conv_block3d_folded(params: dict, folded: jnp.ndarray, depth_in: int,
+                        stride: int = 1) -> tuple[jnp.ndarray, int]:
+    """Conv -> LeakyReLU(0.1) -> affine InstanceNorm, folded."""
+    out, depth_out = conv3d_folded(params["conv"], folded, depth_in, stride)
+    return instance_norm_folded(blocks.leaky_relu(out), depth_out,
+                                params["norm"]), depth_out
+
+
+def conv_transpose_block3d_folded(params: dict, folded: jnp.ndarray,
+                                  depth_in: int) -> tuple[jnp.ndarray, int]:
+    """TransposedConv(4, stride 2, pad 1) -> LeakyReLU -> InstanceNorm."""
+    out, depth_out = conv_transpose3d_folded(params["conv"], folded,
+                                             depth_in)
+    return instance_norm_folded(blocks.leaky_relu(out), depth_out,
+                                params["norm"]), depth_out
+
+
+def anisotropic_fullsize_transpose(params: dict, folded: jnp.ndarray,
+                                   depth: int) -> jnp.ndarray:
+    """The raw final upsampler: transposed conv kernel (3, 4, 4), stride
+    (1, 2, 2), padding (1, 1, 1), C -> 1 (reference
+    ``network_blocks.py:37-44``), folded: [B, H, W, D*C] -> disparity-last
+    similarities [B, 2H, 2W, D]."""
+    weight = params["w"]  # [3, 4, 4, C, 1]
+    kernel = banded_kernel(weight, depth, depth, depth_stride=1, depth_pad=1,
+                           transposed=True)
+    out = lax.conv_general_dilated(
+        folded, kernel.astype(folded.dtype), window_strides=(1, 1),
+        padding=[(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.promote_types(folded.dtype, jnp.float32),
+    ).astype(folded.dtype)
+    return out + params["b"].astype(out.dtype)
+
+
+def broadcast_shortcut(shortcut: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """[B, H, W, C] left-image shortcut -> folded [B, H, W, D*C] (the
+    reference broadcasts the depth-1 shortcut along the disparity axis,
+    ``regularization.py:114-119``)."""
+    return jnp.tile(shortcut, (1, 1, 1, depth))

@@ -9,16 +9,19 @@ a distribution and return its mean disparity ``disparity_step * index``
 (reference ``estimator.py:87-91``).
 
 The reference materializes the window with a Python loop of ``th.gather``
-calls. Here the whole estimator is one vectorized expression over a
-disparity-**last** similarity tensor, so the argmax, the (2k+1)-tap gather and
-the softmax all run on the TPU lane dimension in a single fused XLA
-computation. Golden values pinned by the reference's ``test_estimator.py``:
-similarities [0.1, 0.4, 0.3, 0.2, 0.3] -> 1.52 (step=1) / 2.124 (step=2).
+calls. The TPU formulation eliminates the gather entirely: collecting the
+taps at indices ``argmax ± s`` and softmaxing them is identical to a MASKED
+softmax over the full disparity axis with mask ``|d - argmax| <= taps``
+(out-of-range taps were ``-inf`` in the reference — exactly what masking
+does). With disparity on the lane dimension, the whole estimator is a single
+fused argmax + masked-softmax + expectation pass on the VPU, no
+data-dependent addressing anywhere. Golden values pinned by the reference's
+``test_estimator.py``: similarities [0.1, 0.4, 0.3, 0.2, 0.3] -> 1.52
+(step=1) / 2.124 (step=2).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -48,19 +51,15 @@ def subpixel_map(similarities: jnp.ndarray,
     number_of_disparities = similarities.shape[-1]
     half_taps = half_support_window // disparity_step
 
-    best_index = jnp.argmax(similarities, axis=-1)
-    # Window of disparity indices around the maximum; shape [..., 2k+1].
-    shifts = jnp.arange(-half_taps, half_taps + 1)
-    window_index = best_index[..., None] + shifts
-    valid = (window_index >= 0) & (window_index < number_of_disparities)
-    # Invalid taps: gather from index 0 but weight them out with -inf scores,
-    # exactly like the reference (estimator.py:71-77). The center tap is
-    # always valid, so the softmax is never degenerate.
-    safe_index = jnp.where(valid, window_index, 0)
-    window_scores = jnp.take_along_axis(similarities, safe_index, axis=-1)
-    window_scores = jnp.where(valid, window_scores, -jnp.inf)
+    best_index = jnp.argmax(similarities, axis=-1, keepdims=True)
+    index = jnp.arange(number_of_disparities)
+    in_window = jnp.abs(index - best_index) <= half_taps
 
-    probabilities = jax.nn.softmax(window_scores, axis=-1)
-    window_disparities = (disparity_step * safe_index).astype(
-        probabilities.dtype)
-    return jnp.sum(probabilities * window_disparities, axis=-1)
+    # Masked softmax over the window (numerically shifted by the window max,
+    # which is the argmax value itself).
+    maximum = jnp.max(similarities, axis=-1, keepdims=True)
+    weights = jnp.where(in_window,
+                        jnp.exp(similarities - maximum), 0.0)
+    disparities = (disparity_step * index).astype(weights.dtype)
+    return (jnp.sum(weights * disparities, axis=-1) /
+            jnp.sum(weights, axis=-1))

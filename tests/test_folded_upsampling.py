@@ -1,9 +1,9 @@
-"""Exactness of the depth-folded upsampling stages vs the dense 3D path.
+"""Exactness of the depth-folded 3D conv layer vs the dense NDHWC path.
 
-The final two regularization stages run as grouped spatial transposed convs
-over a depth-folded [B, H, W, D*C] layout (TPU lane alignment — see
-``models/regularization.py``). These tests pin the decomposition to the
-dense ``blocks.conv_transpose`` semantics it replaces.
+The entire hourglass executes in folded [B, H, W, D*C] layout with banded
+depth-mixing kernels (``ops/folded3d.py``). These tests pin every folded
+primitive — and the full hourglass — to the plain NDHWC composition they
+replace.
 """
 
 import numpy as np
@@ -11,37 +11,75 @@ import jax
 import jax.numpy as jnp
 
 from practicaldeepstereo_nips2018_tpu.models import blocks, regularization
+from practicaldeepstereo_nips2018_tpu.ops import folded3d
 
 
-def test_halfsize_folded_matches_dense():
+def test_fold_unfold_roundtrip():
+    volume = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 3, 4, 6))
+    folded = folded3d.fold(volume)
+    assert folded.shape == (2, 3, 4, 30)
+    assert np.array_equal(np.asarray(folded3d.unfold(folded, 5)),
+                          np.asarray(volume))
+
+
+def test_conv3d_folded_matches_dense():
     key = jax.random.PRNGKey(0)
-    params = blocks.init_conv_transpose_block(key, 4, 8, 4, spatial_dims=3)
-    volume = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 5, 7, 8))
-
-    dense = blocks.conv_transpose_block(params, volume, stride=2, padding=1)
-    # dense: [B, 2D, 2H, 2W, 4] -> folded comparison layout
-    dense_folded = jnp.moveaxis(dense, 1, 3).reshape(2, 10, 14, 12 * 4)
-
-    folded = regularization._upsample_to_halfsize_folded(params, volume)
-    assert folded.shape == (2, 10, 14, 48)
-    assert np.allclose(np.asarray(folded), np.asarray(dense_folded),
-                       atol=1e-5), \
-        np.abs(np.asarray(folded) - np.asarray(dense_folded)).max()
+    params = blocks.init_conv(key, 3, 6, 10, spatial_dims=3)
+    volume = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 5, 6, 6))
+    for stride in (1, 2):
+        dense = blocks.conv(params, volume, stride=stride)
+        folded, depth = folded3d.conv3d_folded(params,
+                                               folded3d.fold(volume), 7,
+                                               stride)
+        assert depth == dense.shape[1]
+        assert np.allclose(np.asarray(folded3d.unfold(folded, depth)),
+                           np.asarray(dense), atol=1e-5), stride
 
 
-def test_fullsize_folded_matches_dense():
+def test_conv_block3d_folded_matches_dense():
     key = jax.random.PRNGKey(2)
-    params = blocks.init_conv_transpose(key, (3, 4, 4), 4, 1, spatial_dims=3)
-    volume = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 5, 7, 4))
+    params = blocks.init_conv_block(key, 3, 6, 12, spatial_dims=3)
+    volume = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 5, 7, 6))
+    dense = blocks.conv_block(params, volume, stride=2)
+    folded, depth = folded3d.conv_block3d_folded(params,
+                                                 folded3d.fold(volume), 6,
+                                                 stride=2)
+    assert np.allclose(np.asarray(folded3d.unfold(folded, depth)),
+                       np.asarray(dense), atol=1e-5)
 
+
+def test_conv_transpose_block3d_folded_matches_dense():
+    key = jax.random.PRNGKey(4)
+    params = blocks.init_conv_transpose_block(key, 4, 8, 4, spatial_dims=3)
+    volume = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 5, 7, 8))
+    dense = blocks.conv_transpose_block(params, volume, stride=2, padding=1)
+    folded, depth = folded3d.conv_transpose_block3d_folded(
+        params, folded3d.fold(volume), 6)
+    assert depth == 12
+    assert np.allclose(np.asarray(folded3d.unfold(folded, depth)),
+                       np.asarray(dense), atol=1e-5)
+
+
+def test_anisotropic_fullsize_matches_dense():
+    key = jax.random.PRNGKey(6)
+    params = blocks.init_conv_transpose(key, (3, 4, 4), 4, 1, spatial_dims=3)
+    volume = jax.random.normal(jax.random.PRNGKey(7), (2, 6, 5, 7, 4))
     dense = blocks.conv_transpose(params, volume, stride=(1, 2, 2),
                                   padding=(1, 1, 1))
     dense_map = jnp.moveaxis(dense[..., 0], 1, -1)  # [B, 2H, 2W, D]
-
-    folded_in = jnp.moveaxis(volume, 1, 3).reshape(2, 5, 7, 6 * 4)
-    folded = regularization._upsample_to_fullsize_folded(params, folded_in,
-                                                         depth_levels=6)
+    folded = folded3d.anisotropic_fullsize_transpose(
+        params, folded3d.fold(volume), 6)
     assert folded.shape == (2, 10, 14, 6)
-    assert np.allclose(np.asarray(folded), np.asarray(dense_map),
-                       atol=1e-5), \
-        np.abs(np.asarray(folded) - np.asarray(dense_map)).max()
+    assert np.allclose(np.asarray(folded), np.asarray(dense_map), atol=1e-5)
+
+
+def test_full_hourglass_folded_matches_ndhwc():
+    params = regularization.init(jax.random.PRNGKey(0))
+    signatures = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 32, 8))
+    shortcut = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 32, 8))
+    reference = regularization.apply_ndhwc(params, signatures, shortcut)
+    folded = regularization.apply(params, signatures, shortcut)
+    assert folded.shape == reference.shape == (1, 64, 128, 32)
+    assert np.allclose(np.asarray(folded), np.asarray(reference),
+                       atol=2e-4), \
+        np.abs(np.asarray(folded) - np.asarray(reference)).max()
