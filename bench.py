@@ -7,11 +7,15 @@ sub-pixel MAP estimator) — the reference measures 0.62 s/image on an
 unspecified GPU (``/root/reference/README.md:37-39``, timing loop at
 ``trainer.py:141-148``).
 
-Measurement method: the jitted forward (with a scalar mean output) is
-dispatched N times and completion is forced by fetching the final scalar;
-the per-image time is the slope between two values of N, which cancels the
-fixed dispatch/fetch overhead of the device transport. One compilation
-total.
+Measurement method: the forward pass runs inside a single jitted
+``lax.fori_loop`` with a carried dependency (so XLA cannot hoist the body)
+and a scalar output (so the host fetch forces completion). The trip count is
+a RUNTIME argument — one compilation total — and the per-image time is the
+slope between two trip counts, cancelling the transport's fixed
+dispatch/fetch cost. A device-side loop is essential here: per-dispatch
+overhead through the TPU relay is ~25 ms and does NOT pipeline, so host-side
+loops overstate the time 3x (measured: 42 ms host-looped vs 13.9 ms of
+actual device time in the profiler).
 
 Prints ONE JSON line:
     {"metric": "time_per_image", "value": <sec>, "unit": "s",
@@ -19,12 +23,19 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import statistics
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Remote TPU compilation through the relay costs tens of minutes per
+# program; persist compiled executables across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/pds_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 sys.path.insert(0, ".")
 
@@ -49,21 +60,24 @@ def main():
                                jnp.float32) * 255.0
 
     @jax.jit
-    def run(params, left, right):
-        disparity = models.infer(params, left, right, config,
-                                 compute_dtype=jnp.bfloat16)
-        return jnp.mean(disparity)
+    def run(params, left, right, iterations):
+        def body(_, carry):
+            # Carried dependency: a value-zero but data-dependent input
+            # perturbation prevents loop-invariant hoisting / CSE.
+            perturbed = left + carry * 1e-30
+            disparity = models.infer(params, perturbed, right, config,
+                                     compute_dtype=jnp.bfloat16)
+            return jnp.mean(disparity)
+
+        return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
     # Warmup / compile. The scalar fetch forces completion (on relayed
     # device transports block_until_ready alone can return early).
-    float(run(params, left, right))
+    float(run(params, left, right, 1))
 
     def timed(iterations: int) -> float:
         start = time.perf_counter()
-        out = None
-        for _ in range(iterations):
-            out = run(params, left, right)
-        float(out)
+        float(run(params, left, right, iterations))
         return time.perf_counter() - start
 
     slopes = []

@@ -140,10 +140,24 @@ def apply(params: dict,
         [B, H, W, (maximum_disparity+1)/2] similarities; index d along the
         last axis scores disparity ``2*d`` pixels.
     """
-    height, width = left_image.shape[1], left_image.shape[2]
+    similarities = apply_padded(params, left_image, right_image, config,
+                                compute_dtype)
+    similarities = similarities.astype(left_image.dtype)
+    return pad_ops.unpad(similarities, left_image.shape[1],
+                         left_image.shape[2], spatial_axes=(1, 2))
+
+
+def apply_padded(params: dict,
+                 left_image: jnp.ndarray,
+                 right_image: jnp.ndarray,
+                 config: PDSConfig = PDSConfig(),
+                 compute_dtype=None) -> jnp.ndarray:
+    """Forward pass WITHOUT the final crop: similarities at the padded
+    resolution. The estimator is pixel-wise over the disparity axis, so
+    inference applies it before cropping (exactly the reference's order,
+    ``network.py:45-52``) and saves a full-resolution copy."""
     left = pad_ops.pad_to_multiple(left_image, config.minimum_size)
     right = pad_ops.pad_to_multiple(right_image, config.minimum_size)
-    input_dtype = left.dtype
     if compute_dtype is not None:
         left = left.astype(compute_dtype)
         right = right.astype(compute_dtype)
@@ -165,10 +179,8 @@ def apply(params: dict,
         signatures = matching_fn(params["matching"], left_descriptor,
                                  right_descriptor,
                                  config.matching_maximum_disparity)
-    similarities = regularization_fn(params["regularization"], signatures,
-                                     shortcut_from_left)
-    similarities = similarities.astype(input_dtype)
-    return pad_ops.unpad(similarities, height, width, spatial_axes=(1, 2))
+    return regularization_fn(params["regularization"], signatures,
+                             shortcut_from_left)
 
 
 def infer(params: dict,
@@ -176,10 +188,18 @@ def infer(params: dict,
           right_image: jnp.ndarray,
           config: PDSConfig = PDSConfig(),
           compute_dtype=None) -> jnp.ndarray:
-    """Inference: similarities -> sub-pixel MAP disparity map [B, H, W]."""
-    similarities = apply(params, left_image, right_image, config,
-                         compute_dtype)
-    return subpixel.subpixel_map(
+    """Inference: similarities -> sub-pixel MAP disparity map [B, H, W].
+
+    The estimator runs on the PADDED similarities and the crop comes last
+    (the reference's order, ``network.py:50-52``): per-pixel over disparity,
+    so the result is identical and the full-resolution similarity crop copy
+    is avoided.
+    """
+    similarities = apply_padded(params, left_image, right_image, config,
+                                compute_dtype)
+    disparity = subpixel.subpixel_map(
         similarities.astype(jnp.float32),
         half_support_window=config.estimator_half_support_window,
         disparity_step=config.disparity_step)
+    return pad_ops.unpad(disparity, left_image.shape[1],
+                         left_image.shape[2], spatial_axes=(-2, -1))
