@@ -169,18 +169,28 @@ def instance_norm(x: jnp.ndarray, params: dict | None = None,
     which is what makes DP training numerically faithful to the reference's
     batch-size-1 loop.
 
+    Moments are accumulated in float32 EXPLICITLY (converted on the fly from
+    the stored activation): bf16 accumulation over ~1e5 elements is lossy,
+    and leaving the choice to XLA makes it keep the upstream conv's f32
+    accumulator alive as a second full-size buffer (profiled: the whole
+    matching tail silently ran in f32, 2x HBM traffic).
+
     Args:
         x: [N, *spatial, C].
         params: optional {'scale': [C], 'bias': [C]} for the affine variant.
     """
     spatial_axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=spatial_axes, keepdims=True)
-    centered = x - mean
-    variance = jnp.mean(jnp.square(centered), axis=spatial_axes, keepdims=True)
-    normalized = centered * lax.rsqrt(variance + eps)
+    statistics_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    x32 = x.astype(statistics_dtype)
+    mean = jnp.mean(x32, axis=spatial_axes, keepdims=True)
+    variance = jnp.mean(jnp.square(x32), axis=spatial_axes,
+                        keepdims=True) - jnp.square(mean)
+    scale = lax.rsqrt(variance + eps)
+    offset = -mean * scale
     if params is not None:
-        normalized = normalized * params["scale"] + params["bias"]
-    return normalized
+        scale = scale * params["scale"]
+        offset = offset * params["scale"] + params["bias"]
+    return (x32 * scale + offset).astype(x.dtype)
 
 
 def leaky_relu(x: jnp.ndarray,

@@ -133,19 +133,20 @@ def shift_accumulate_volume(left_plane: jnp.ndarray,
     # Rightmost column: the reference's shift truncates R's last d columns,
     # so the x = width-1 window must NOT see R[width-d]. Subtracting the
     # rightmost-tap contribution reproduces the truncated-conv value exactly
-    # (and yields 0 at d = width, where the shifted input is all zero fill).
-    last_columns = []
+    # (and yields 0 at d >= width, where the shifted input is all zero fill).
+    # The fix is applied as a width-padded ADD of a per-disparity correction
+    # column — an elementwise op XLA fuses into the stack, unlike a
+    # slice+concat which forces a full-volume layout copy (profiled).
+    corrections = []
     for d in range(maximum_disparity + 1):
-        if d == 0:
-            last_columns.append(right_plane_wide[:, :, width, :])
-        elif d <= width:
-            last_columns.append(right_plane_wide[:, :, width - d, :] -
-                                edge_plane[:, :, width - d, :])
+        if 1 <= d <= width:
+            corrections.append(-edge_plane[:, :, width - d, :])
         else:
-            last_columns.append(jnp.zeros_like(left_plane[:, :, 0, :]))
-    last = jnp.stack(last_columns, axis=1)  # [B, D+1, H, C]
-    volume = jnp.concatenate(
-        [volume[:, :, :, :width - 1, :], last[:, :, :, None, :]], axis=3)
+            corrections.append(jnp.zeros_like(left_plane[:, :, 0, :]))
+    correction = jnp.stack(corrections, axis=1)  # [B, D+1, H, C]
+    volume = volume + jnp.pad(
+        correction[:, :, :, None, :],
+        [(0, 0), (0, 0), (0, 0), (width - 1, 0), (0, 0)])
     return volume + left_plane[:, None]
 
 

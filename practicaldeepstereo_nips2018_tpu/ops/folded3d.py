@@ -129,16 +129,24 @@ def conv_transpose3d_folded(params: dict, folded: jnp.ndarray,
 
 def instance_norm_folded(folded: jnp.ndarray, depth: int,
                          params: dict | None = None) -> jnp.ndarray:
-    """Affine instance norm: per (sample, channel) moments over (H, W, D)."""
+    """Affine instance norm: per (sample, channel) moments over (H, W, D).
+
+    Float32 statistics accumulation, single fused pass (see
+    ``models/blocks.py::instance_norm`` for the rationale)."""
     batch, height, width, merged = folded.shape
     channels = merged // depth
-    five_d = folded.reshape(batch, height, width, depth, channels)
+    statistics_dtype = jnp.promote_types(folded.dtype, jnp.float32)
+    five_d = folded.reshape(batch, height, width, depth,
+                            channels).astype(statistics_dtype)
     mean = jnp.mean(five_d, axis=(1, 2, 3), keepdims=True)
-    centered = five_d - mean
-    variance = jnp.mean(jnp.square(centered), axis=(1, 2, 3), keepdims=True)
-    normalized = centered * lax.rsqrt(variance + blocks.INSTANCE_NORM_EPS)
+    variance = jnp.mean(jnp.square(five_d), axis=(1, 2, 3),
+                        keepdims=True) - jnp.square(mean)
+    scale = lax.rsqrt(variance + blocks.INSTANCE_NORM_EPS)
+    offset = -mean * scale
     if params is not None:
-        normalized = normalized * params["scale"] + params["bias"]
+        scale = scale * params["scale"]
+        offset = offset * params["scale"] + params["bias"]
+    normalized = five_d * scale + offset
     return normalized.reshape(batch, height, width, merged).astype(
         folded.dtype)
 
