@@ -245,10 +245,11 @@ class PDSTrainer:
             start_time = time.time()
             if ground_truth is None:
                 # Benchmark sets without ground truth (e.g. KITTI testing):
-                # inference + visualization only, no metrics.
+                # inference + submission export + visualization, no metrics.
                 disparity = jax.block_until_ready(
                     self._infer_step(self._params, left, right))
                 processing_times.append(time.time() - start_time)
+                self._export_submission(np.asarray(disparity), example_index)
                 self._visualize_example(example, np.asarray(disparity),
                                         None, example_index)
                 continue
@@ -273,6 +274,19 @@ class PDSTrainer:
     # ------------------------------------------------------------------
     # Reporting & visualization (reference pds_trainer.py:76-142)
     # ------------------------------------------------------------------
+
+    def _export_submission(self, disparity: np.ndarray,
+                           example_index: int) -> None:
+        """Writes the KITTI-format submission PNG (uint16, disparity*256) for
+        ground-truth-less benchmark examples."""
+        if jax.process_index() != 0:
+            return
+        import cv2
+        folder = os.path.join(self._experiment_folder, "submission")
+        os.makedirs(folder, exist_ok=True)
+        encoded = np.clip(disparity[0] * 256.0, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(folder, f"{example_index:06d}_10.png"),
+                    encoded)
 
     def _visualize_example(self, example: dict, disparity: np.ndarray,
                            error_map: np.ndarray, example_index: int) -> None:

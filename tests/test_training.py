@@ -160,3 +160,25 @@ def test_trainer_load_only_network(tmp_path):
     assert all(np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(original, restored))
     assert other.current_epoch == 0
+
+
+@pytest.mark.slow
+def test_benchmark_without_ground_truth_exports_submission(tmp_path):
+    from practicaldeepstereo_nips2018_tpu.data import Kitti, Loader
+    kitti_root = fixtures.make_kitti_tree(str(tmp_path / "kitti"))
+    benchmark = Kitti.kitti2015_benchmark(kitti_root)
+    config = models.PDSConfig(maximum_disparity=63)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=models.init(jax.random.PRNGKey(0), config),
+        test_set_loader=Loader(benchmark, batch_size=1, num_workers=1),
+        experiment_folder=str(tmp_path / "exp"))
+    os.makedirs(str(tmp_path / "exp"), exist_ok=True)
+    errors, _ = trainer.test()
+    assert errors == {}
+    import cv2
+    submission = str(tmp_path / "exp" / "submission" / "000000_10.png")
+    assert os.path.isfile(submission)
+    decoded = cv2.imread(submission, cv2.IMREAD_UNCHANGED)
+    assert decoded.dtype == np.uint16
+    assert decoded.shape == (fixtures.HEIGHT, fixtures.WIDTH)
