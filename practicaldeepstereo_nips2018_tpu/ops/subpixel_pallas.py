@@ -27,7 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from practicaldeepstereo_nips2018_tpu.ops import subpixel as subpixel_xla
 
-_TILE_ROWS = 512
+# 1024 matches XLA's 1-D f32 layout tiling T(1024): the flat disparity
+# output must block on that granularity or Mosaic rejects the layout.
+_TILE_ROWS = 1024
 
 
 def _estimator_kernel(similarities_ref, disparity_ref, *, half_taps: int,
@@ -35,17 +37,23 @@ def _estimator_kernel(similarities_ref, disparity_ref, *, half_taps: int,
     scores = similarities_ref[:].astype(jnp.float32)  # [TILE, D]
     rows, number_of_disparities = scores.shape
 
-    best = jnp.argmax(scores, axis=-1)[:, None]  # [TILE, 1]
     index = jax.lax.broadcasted_iota(jnp.int32, (rows, number_of_disparities),
                                      1)
+    maximum = jnp.max(scores, axis=-1, keepdims=True)
+    # argmax as min-index-where-maximal (same first-occurrence tie semantics
+    # as ``jnp.argmax``): Mosaic's native lane-axis argmax lowering returns
+    # wrong indices on this toolchain (measured), min/max/sum reductions are
+    # correct.
+    best = jnp.min(
+        jnp.where(scores == maximum, index, number_of_disparities),
+        axis=-1, keepdims=True)
     in_window = jnp.abs(index - best) <= half_taps
 
-    maximum = jnp.max(scores, axis=-1, keepdims=True)
     weights = jnp.where(in_window, jnp.exp(scores - maximum), 0.0)
     disparities = (disparity_step * index).astype(jnp.float32)
     expectation = (jnp.sum(weights * disparities, axis=-1) /
                    jnp.sum(weights, axis=-1))
-    disparity_ref[0, :] = expectation
+    disparity_ref[:] = expectation.reshape(disparity_ref.shape)
 
 
 def subpixel_map_pallas(similarities: jnp.ndarray,
@@ -67,8 +75,11 @@ def subpixel_map_pallas(similarities: jnp.ndarray,
             half_support_window % disparity_step != 0):
         raise ValueError("invalid window/step configuration")
     if not interpret and jax.devices()[0].platform not in ("tpu",):
+        # XLA fallback in float32 — identical numerics to the kernel, which
+        # casts each tile to float32 on load.
         return subpixel_xla.subpixel_map(
-            similarities, half_support_window, disparity_step)
+            similarities.astype(jnp.float32), half_support_window,
+            disparity_step)
 
     *leading, number_of_disparities = similarities.shape
     pixels = 1
@@ -80,8 +91,16 @@ def subpixel_map_pallas(similarities: jnp.ndarray,
     # but harmless — the center tap is always valid so no NaNs).
     tiles = -(-pixels // _TILE_ROWS)
     padded_pixels = tiles * _TILE_ROWS
-    if padded_pixels != pixels:
-        flat = jnp.pad(flat, [(0, padded_pixels - pixels), (0, 0)])
+    # Pad the disparity axis up to full 128-lane tiles with -inf: Mosaic's
+    # lane-axis reductions over an unaligned minor dim (e.g. 96) read the
+    # padding lanes (measured wrong argmax/sum on TPU); -inf taps lose every
+    # argmax/max and contribute exp(-inf)=0 weight, exactly the reference's
+    # out-of-range-tap semantics (reference ``estimator.py:71-77``).
+    padded_disparities = -(-number_of_disparities // 128) * 128
+    pad_width = [(0, padded_pixels - pixels),
+                 (0, padded_disparities - number_of_disparities)]
+    if padded_pixels != pixels or padded_disparities != number_of_disparities:
+        flat = jnp.pad(flat, pad_width, constant_values=-jnp.inf)
 
     kernel = functools.partial(
         _estimator_kernel,
@@ -90,12 +109,16 @@ def subpixel_map_pallas(similarities: jnp.ndarray,
     disparity = pl.pallas_call(
         kernel,
         grid=(tiles,),
-        in_specs=[pl.BlockSpec((_TILE_ROWS, number_of_disparities),
+        in_specs=[pl.BlockSpec((_TILE_ROWS, padded_disparities),
                                lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, _TILE_ROWS), lambda i: (i, 0),
+        # (8, 128)-tiled 2-D output blocks: pixel p lives at row p // 128,
+        # lane p % 128 (1-D or (1, TILE) blocks violate Mosaic's layout
+        # rules for the output operand).
+        out_specs=pl.BlockSpec((_TILE_ROWS // 128, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, _TILE_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded_pixels // 128, 128),
+                                       jnp.float32),
         interpret=interpret,
     )(flat)
     return disparity.reshape(padded_pixels)[:pixels].reshape(leading)
