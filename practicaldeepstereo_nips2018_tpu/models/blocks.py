@@ -126,10 +126,13 @@ def conv(params: dict, x: jnp.ndarray, stride=1,
     else:
         padding = _as_tuple(padding, spatial_dims)
     pad_config = [(p, p) for p in padding]
+    # No ``preferred_element_type``: the MXU accumulates bf16 convolutions in
+    # float32 regardless, and a float32-output conv of bf16 operands makes
+    # the kernel-gradient convolution mixed-dtype (bf16 lhs x f32 cotangent),
+    # which lax rejects — it broke the whole bfloat16 training path.
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride, padding=pad_config,
-        dimension_numbers=_DIMENSION_NUMBERS[spatial_dims],
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
+        dimension_numbers=_DIMENSION_NUMBERS[spatial_dims])
     return (out + params["b"]).astype(x.dtype)
 
 
@@ -153,8 +156,7 @@ def conv_transpose(params: dict, x: jnp.ndarray, stride,
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(1,) * spatial_dims,
         padding=pad_config, lhs_dilation=stride,
-        dimension_numbers=_DIMENSION_NUMBERS[spatial_dims],
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32))
+        dimension_numbers=_DIMENSION_NUMBERS[spatial_dims])
     return (out + params["b"]).astype(x.dtype)
 
 

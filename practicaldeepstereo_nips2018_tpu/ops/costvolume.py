@@ -71,13 +71,14 @@ def matching_head_planes(head_conv_params: dict,
     features = left_descriptor.shape[-1]
     w_left = w[:, :, :features, :]
     w_right = w[:, :, features:, :]
-    accumulator_dtype = jnp.promote_types(left_descriptor.dtype, jnp.float32)
+    # No ``preferred_element_type`` on any conv: see
+    # ``models/blocks.py::conv`` (f32-output convs of bf16 operands break
+    # the kernel-gradient convolution; the MXU accumulates in f32 anyway).
 
     left_plane = lax.conv_general_dilated(
         left_descriptor, w_left.astype(left_descriptor.dtype),
         window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=accumulator_dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     left_plane = (left_plane + head_conv_params["b"]).astype(
         left_descriptor.dtype)
 
@@ -85,8 +86,7 @@ def matching_head_planes(head_conv_params: dict,
     right_plane_wide = lax.conv_general_dilated(
         right_descriptor, w_right.astype(right_descriptor.dtype),
         window_strides=(1, 1), padding=[(1, 1), (2, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=accumulator_dtype).astype(right_descriptor.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     # Right-edge correction plane: contribution of a single input column
     # through the kernel's rightmost tap, E[j] = sum_ky w[ky, -1] R[., j].
@@ -94,8 +94,7 @@ def matching_head_planes(head_conv_params: dict,
     edge_plane = lax.conv_general_dilated(
         right_descriptor, right_tap.astype(right_descriptor.dtype),
         window_strides=(1, 1), padding=[(1, 1), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=accumulator_dtype).astype(right_descriptor.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return left_plane, right_plane_wide, edge_plane
 
 

@@ -93,12 +93,13 @@ def conv3d_folded(params: dict, folded: jnp.ndarray, depth_in: int,
     depth_out = (depth_in + 2 - weight.shape[0]) // stride + 1
     kernel = banded_kernel(weight, depth_in, depth_out, stride, 1,
                            transposed=False)
+    # No ``preferred_element_type``: f32-output convs of bf16 operands make
+    # the kernel-gradient conv mixed-dtype (rejected by lax); the MXU
+    # accumulates in f32 either way (see ``models/blocks.py::conv``).
     out = lax.conv_general_dilated(
         folded, kernel.astype(folded.dtype), window_strides=(stride, stride),
         padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.promote_types(folded.dtype, jnp.float32),
-    ).astype(folded.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     out = out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
     return out, depth_out
 
@@ -120,9 +121,7 @@ def conv_transpose3d_folded(params: dict, folded: jnp.ndarray,
         folded, kernel.astype(folded.dtype), window_strides=(1, 1),
         padding=[(spatial_pad, spatial_pad)] * 2, lhs_dilation=(stride,
                                                                 stride),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.promote_types(folded.dtype, jnp.float32),
-    ).astype(folded.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     out = out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
     return out, depth_out
 
@@ -180,9 +179,7 @@ def anisotropic_fullsize_transpose(params: dict, folded: jnp.ndarray,
     out = lax.conv_general_dilated(
         folded, kernel.astype(folded.dtype), window_strides=(1, 1),
         padding=[(2, 2), (2, 2)], lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.promote_types(folded.dtype, jnp.float32),
-    ).astype(folded.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out + params["b"].astype(out.dtype)
 
 

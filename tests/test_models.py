@@ -110,6 +110,28 @@ def test_network_is_jittable_and_differentiable():
     assert total > 0.0
 
 
+def test_network_is_differentiable_in_bfloat16():
+    """The bf16 compute path must have a well-typed backward pass (an
+    f32-output conv of bf16 operands makes the kernel-gradient convolution
+    mixed-dtype, which lax rejects — regression guard for the training
+    path used on TPU)."""
+    config = network.PDSConfig(maximum_disparity=63, remat=True)
+    params = network.init(jax.random.PRNGKey(0), config)
+    left = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 255
+    right = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3)) * 255
+
+    @jax.jit
+    def loss_fn(p):
+        sims = network.apply(p, left, right, config,
+                             compute_dtype=jnp.bfloat16)
+        return jnp.mean(jnp.square(sims))
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(leaf))) for leaf in leaves)
+    assert sum(float(jnp.sum(jnp.abs(leaf))) for leaf in leaves) > 0.0
+
+
 def test_remat_config_matches_values():
     config = network.PDSConfig(maximum_disparity=63, remat=True)
     baseline = network.PDSConfig(maximum_disparity=63)
