@@ -20,6 +20,7 @@ ahead; epoch shuffling is deterministic per (seed, epoch).
 from __future__ import annotations
 
 import concurrent.futures
+import os
 import random
 from typing import Iterator
 
@@ -96,6 +97,30 @@ class Loader:
             return number // self._batch_size
         return -(-number // self._batch_size)
 
+    def _example_names(self, indices: list[int]) -> list[str] | None:
+        """Source-file basenames of the batch's examples (submission export
+        must be named after the example's own file, not its loader position).
+        None when the dataset carries no path records."""
+        if not hasattr(self._dataset, "example_files"):
+            return None
+        names = []
+        for index in indices:
+            record = self._dataset.example_files(index)
+            try:
+                path = record["left"]["image"]
+            except (KeyError, TypeError):
+                return None
+            names.append(os.path.basename(path))
+        return names
+
+    def _build_batch(self, examples: list[dict],
+                     indices: list[int]) -> dict:
+        batch = _stack_examples(examples)
+        names = self._example_names(indices)
+        if names is not None:
+            batch["names"] = names
+        return batch
+
     def __iter__(self) -> Iterator[dict]:
         indices = self._epoch_indices()
         with concurrent.futures.ThreadPoolExecutor(
@@ -107,19 +132,21 @@ class Loader:
                 nonlocal cursor
                 while cursor < len(indices) and len(pending) < self._prefetch:
                     pending.append(
-                        pool.submit(self._dataset.__getitem__,
-                                    indices[cursor]))
+                        (pool.submit(self._dataset.__getitem__,
+                                     indices[cursor]), indices[cursor]))
                     cursor += 1
 
             enqueue()
-            batch = []
+            batch, batch_indices = [], []
             while pending:
-                example = pending.pop(0).result()
+                future, index = pending.pop(0)
+                example = future.result()
                 enqueue()
                 batch.append(example)
+                batch_indices.append(index)
                 if len(batch) == self._batch_size:
-                    yield _stack_examples(batch)
-                    batch = []
+                    yield self._build_batch(batch, batch_indices)
+                    batch, batch_indices = [], []
             if batch and not self._drop_last:
-                yield _stack_examples(batch)
+                yield self._build_batch(batch, batch_indices)
         self._epoch += 1

@@ -18,20 +18,32 @@ _initialized = False
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None) -> dict:
-    """Joins the JAX distributed runtime (no-op on single-process setups).
+    """Joins the JAX distributed runtime; returns the topology summary.
 
-    On TPU pods the arguments are discovered from the environment; on other
-    platforms pass them explicitly. Returns the topology summary.
+    With explicit arguments the runtime joins the given coordinator (errors
+    propagate — a misconfigured pod must fail loudly). With NO arguments,
+    environment discovery is attempted: on TPU pods / managed clusters
+    ``jax.distributed.initialize()`` resolves the coordinator from the
+    environment; on plain single-process setups discovery has nothing to
+    find and the call degrades to single-process topology. Idempotent:
+    repeated calls (or calls after the backend already initialized
+    single-process) return the current topology.
     """
     global _initialized
-    if not _initialized and (coordinator_address is not None
-                             or jax.process_count() == 1):
+    if _initialized:
+        return topology()
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+        _initialized = True
+    except (ValueError, RuntimeError):
+        # No cluster environment to discover (or the backend was already
+        # initialized). Explicit-argument misconfiguration must not be
+        # silently swallowed.
         if coordinator_address is not None:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id)
-            _initialized = True
+            raise
     return topology()
 
 
@@ -42,3 +54,21 @@ def topology() -> dict:
         "local_device_count": jax.local_device_count(),
         "global_device_count": jax.device_count(),
     }
+
+
+def all_hosts_sum(values) -> list[float]:
+    """Element-wise sum of a per-host float vector across all processes.
+
+    Used to turn per-host metric accumulators (sum, count) into global ones
+    — each host's validation loader sees a disjoint example shard, so the
+    global mean is ``sum(host sums) / sum(host counts)``. Single-process:
+    identity. Every process must call this the same number of times with the
+    same vector length (it is a collective)."""
+    import numpy as np
+    values = [float(v) for v in values]
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.asarray(values, dtype=np.float32))
+    return [float(v) for v in np.asarray(gathered).sum(axis=0)]

@@ -34,6 +34,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, None, VOLUME_AXIS))
 
 
+def compatible_batch_sharding(mesh: Mesh, shape: tuple) -> NamedSharding:
+    """Batch sharding degraded to what ``shape`` can actually carry.
+
+    B goes over ``data`` and W (axis 2 of both [B, H, W, C] images and
+    [B, H, W] disparity maps) over ``volume`` — but only when the dimension
+    is divisible by the axis size. Validation/benchmark loaders use
+    ``batch_size=1`` (the reference's protocol), which cannot split over a
+    data axis of 2+; such dimensions are replicated instead, so the SAME
+    jitted eval step runs under any mesh."""
+    spec = [None, None, None]
+    if shape[0] % mesh.shape[DATA_AXIS] == 0:
+        spec[0] = DATA_AXIS
+    if len(shape) >= 3 and shape[2] % mesh.shape[VOLUME_AXIS] == 0:
+        spec[2] = VOLUME_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def image_spec() -> P:
     """[B, H, W, C] images / descriptors."""
     return P(DATA_AXIS, None, VOLUME_AXIS, None)

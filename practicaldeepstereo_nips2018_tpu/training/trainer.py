@@ -96,11 +96,7 @@ class PDSTrainer:
         self._initialize_filenames()
         self._logger = None
 
-        if self._mesh is not None:
-            from practicaldeepstereo_nips2018_tpu.parallel import sharding
-            self._batch_sharding = sharding.batch_sharding(self._mesh)
-        else:
-            self._batch_sharding = None
+        self._sharding_cache: dict[tuple, object] = {}
 
     # ------------------------------------------------------------------
     # Jitted steps
@@ -193,9 +189,20 @@ class PDSTrainer:
 
     def _place(self, array: np.ndarray):
         array = jnp.asarray(array)
-        if self._batch_sharding is not None:
-            return jax.device_put(array, self._batch_sharding)
-        return array
+        if self._mesh is None:
+            return array
+        # Per-shape sharding: training batches shard B over ``data`` and W
+        # over ``volume``; validation batches are batch_size=1 (the
+        # reference's eval protocol) and degrade to replicated-B
+        # automatically instead of crashing the device_put.
+        key = array.shape
+        placement = self._sharding_cache.get(key)
+        if placement is None:
+            from practicaldeepstereo_nips2018_tpu.parallel import sharding
+            placement = sharding.compatible_batch_sharding(
+                self._mesh, array.shape)
+            self._sharding_cache[key] = placement
+        return jax.device_put(array, placement)
 
     def _batch_arrays(self, batch: dict):
         left = self._place(batch["left"]["image"])
@@ -231,7 +238,7 @@ class PDSTrainer:
     def _test(self):
         errors = []
         processing_times = []
-        if self._test_set_loader is None or len(self._test_set_loader) == 0:
+        if self._test_set_loader is None:
             return {}, 0.0
         number_of_examples = len(self._test_set_loader)
         for example_index, example in enumerate(self._test_set_loader):
@@ -249,7 +256,8 @@ class PDSTrainer:
                 disparity = jax.block_until_ready(
                     self._infer_step(self._params, left, right))
                 processing_times.append(time.time() - start_time)
-                self._export_submission(np.asarray(disparity), example_index)
+                self._export_submission(np.asarray(disparity), example_index,
+                                        example.get("names"))
                 self._visualize_example(example, np.asarray(disparity),
                                         None, example_index)
                 continue
@@ -264,29 +272,61 @@ class PDSTrainer:
             processing_times.append(processing_time)
             self._visualize_example(example, np.asarray(disparity),
                                     np.asarray(error_map), example_index)
-        return self._average_errors(errors), average(processing_times)
+        return self._reduce_test_metrics(errors, processing_times)
 
     @staticmethod
-    def _average_errors(errors: list[dict]) -> dict:
-        keys = errors[0].keys() if errors else ()
-        return {key: average([e[key] for e in errors]) for key in keys}
+    def _reduce_test_metrics(errors: list[dict],
+                             processing_times: list[float]):
+        """Global test metrics: per-host (sum, count) accumulators reduced
+        across hosts (each host's loader sees a disjoint example shard, so a
+        per-host mean of means would be wrong and host-dependent). Collective
+        — every host calls it exactly once per ``_test``, even with a locally
+        empty shard."""
+        from practicaldeepstereo_nips2018_tpu.parallel import runtime
+        totals = runtime.all_hosts_sum([
+            sum(e["three_pixels_error"] for e in errors),
+            sum(e["mean_absolute_error"] for e in errors),
+            float(len(errors)),
+            sum(processing_times),
+            float(len(processing_times)),
+        ])
+        three_pixels_sum, absolute_sum, error_count, time_sum, time_count = (
+            totals)
+        mean_time = time_sum / time_count if time_count else 0.0
+        if not error_count:
+            return {}, mean_time
+        return {
+            "three_pixels_error": three_pixels_sum / error_count,
+            "mean_absolute_error": absolute_sum / error_count,
+        }, mean_time
 
     # ------------------------------------------------------------------
     # Reporting & visualization (reference pds_trainer.py:76-142)
     # ------------------------------------------------------------------
 
-    def _export_submission(self, disparity: np.ndarray,
-                           example_index: int) -> None:
-        """Writes the KITTI-format submission PNG (uint16, disparity*256) for
-        ground-truth-less benchmark examples."""
+    def _export_submission(self, disparity: np.ndarray, example_index: int,
+                           names: list[str] | None = None) -> None:
+        """Writes KITTI-format submission PNGs (uint16, disparity*256) for
+        ground-truth-less benchmark examples. Files are named after the
+        example's own source basename (e.g. ``000012_10.png``) so the export
+        is correct under any loader order; position-derived names are only a
+        fallback for datasets without path records."""
         if jax.process_index() != 0:
             return
         import cv2
         folder = os.path.join(self._experiment_folder, "submission")
         os.makedirs(folder, exist_ok=True)
-        encoded = np.clip(disparity[0] * 256.0, 0, 65535).astype(np.uint16)
-        cv2.imwrite(os.path.join(folder, f"{example_index:06d}_10.png"),
-                    encoded)
+        for index_in_batch in range(disparity.shape[0]):
+            if names is not None:
+                filename = (os.path.splitext(names[index_in_batch])[0]
+                            + ".png")
+            else:
+                position = (example_index * disparity.shape[0]
+                            + index_in_batch)
+                filename = f"{position:06d}_10.png"
+            encoded = np.clip(disparity[index_in_batch] * 256.0, 0,
+                              65535).astype(np.uint16)
+            cv2.imwrite(os.path.join(folder, filename), encoded)
 
     def _visualize_example(self, example: dict, disparity: np.ndarray,
                            error_map: np.ndarray, example_index: int) -> None:
@@ -364,6 +404,9 @@ class PDSTrainer:
 
     def _ensure_logger(self):
         if self._logger is None:
+            if jax.process_index() != 0:
+                self._logger = visualization.NullLogger()
+                return
             os.makedirs(self._experiment_folder, exist_ok=True)
             self._logger = visualization.Logger(self._log_filename)
 

@@ -38,6 +38,14 @@ class Logger:
             handle.write(text + "\n")
 
 
+class NullLogger:
+    """Single-writer discipline: non-zero hosts log into the void (otherwise
+    every process of a pod appends interleaved lines to the same log.txt)."""
+
+    def log(self, text: str) -> None:
+        pass
+
+
 def _add_scaled_colorbar(plot, aspect=20, pad_fraction=0.5, **kwargs):
     divider = axes_grid1.make_axes_locatable(plot.axes)
     width = axes_grid1.axes_size.AxesY(plot.axes, aspect=1.0 / aspect)

@@ -113,6 +113,51 @@ def test_sharded_loss_and_grads_match_unsharded():
     assert worst < 1e-3, f"worst grad deviation {worst}"
 
 
+def test_compatible_batch_sharding_degrades_indivisible_axes():
+    mesh = make_mesh(data=2, volume=4)
+    full = sharding.compatible_batch_sharding(mesh, (2, 64, 128, 3))
+    assert full.spec == P("data", None, "volume")
+    eval_batch = sharding.compatible_batch_sharding(mesh, (1, 64, 128, 3))
+    assert eval_batch.spec == P(None, None, "volume")
+    odd_width = sharding.compatible_batch_sharding(mesh, (2, 64, 127))
+    assert odd_width.spec == P("data", None, None)
+
+
+@pytest.mark.slow
+def test_trainer_eval_with_batch_one_under_mesh(tmp_path):
+    """Validation loaders are batch_size=1 (the reference's protocol); under
+    a data>1 mesh the eval batch cannot shard over ``data`` and must fall
+    back to replication instead of crashing device_put (this exact setup
+    raised ValueError before the compatible-sharding fix)."""
+    import os
+
+    from practicaldeepstereo_nips2018_tpu.data import FlyingThings3D, Loader
+    from practicaldeepstereo_nips2018_tpu.training import PDSTrainer
+    from tests import fixtures
+
+    flyingthings_root = fixtures.make_flyingthings3d_tree(
+        str(tmp_path / "flyingthings3d"))
+    training_set, _ = FlyingThings3D.training_split(
+        flyingthings_root, number_of_validation_examples=0,
+        maximum_disparity=63)
+    config = models.PDSConfig(maximum_disparity=63)
+    experiment_folder = str(tmp_path / "experiment")
+    os.makedirs(experiment_folder)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=models.init(jax.random.PRNGKey(0), config),
+        training_set_loader=Loader(training_set, batch_size=1,
+                                   num_workers=1),
+        test_set_loader=Loader(training_set, batch_size=1, num_workers=1),
+        experiment_folder=experiment_folder,
+        initial_learning_rate=1e-3,
+        end_epoch=1,
+        mesh=make_mesh(data=2, volume=2))
+    errors = trainer.train()
+    assert "mean_absolute_error" in errors
+    assert len(trainer.training_losses) == 1
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
