@@ -94,3 +94,85 @@ def apply(params: dict,
                                           right_descriptor,
                                           maximum_disparity)
     return _operation_tail(params, volume)
+
+
+# ---------------------------------------------------------------------------
+# Disparity-paired execution path (the layout the network actually runs)
+# ---------------------------------------------------------------------------
+
+
+def _pair_conv(conv_params: dict) -> dict:
+    """[kh, kw, cin, cout] conv params -> block-diagonal 2-pair form.
+
+    The paired tensor carries two disparities in its lanes; the SAME
+    per-disparity kernel must act on each half independently, which as one
+    dense conv is the block-diagonal kernel diag(w, w) — 2x structural-zero
+    MACs, executed at 2x MXU width (N: 64 -> 128), at HALF the lane-padded
+    memory traffic. See ``ops/costvolume.py::shift_accumulate_volume_paired``
+    for the measurement rationale.
+    """
+    w, b = conv_params["w"], conv_params["b"]
+    kh, kw, cin, cout = w.shape
+    paired = jnp.zeros((kh, kw, 2 * cin, 2 * cout), w.dtype)
+    paired = paired.at[:, :, :cin, :cout].set(w)
+    paired = paired.at[:, :, cin:, cout:].set(w)
+    return {"w": paired, "b": jnp.tile(b, 2)}
+
+
+def _pair_norm(norm_params: dict) -> dict:
+    return {"scale": jnp.tile(norm_params["scale"], 2),
+            "bias": jnp.tile(norm_params["bias"], 2)}
+
+
+def _pair_conv_block(block_params: dict) -> dict:
+    return {"conv": _pair_conv(block_params["conv"]),
+            "norm": _pair_norm(block_params["norm"])}
+
+
+def _pair_tail_params(params: dict) -> dict:
+    paired = {"tail": _pair_conv(params["tail"])}
+    for name, value in params.items():
+        if name.startswith("residual"):
+            paired[name] = {"block1": _pair_conv_block(value["block1"]),
+                            "block2": _pair_conv_block(value["block2"])}
+    return paired
+
+
+def apply_folded(params: dict,
+                 left_descriptor: jnp.ndarray,
+                 right_descriptor: jnp.ndarray,
+                 maximum_disparity: int) -> jnp.ndarray:
+    """Matching signatures directly in depth-FOLDED layout.
+
+    Returns [B, H/4, W/4, (D+1)*8] — lane order (disparity, channel), i.e.
+    exactly ``folded3d.fold`` of :func:`apply`'s output, which is what the
+    regularization hourglass consumes. Producing it natively avoids ever
+    materializing the [B, D, H, W, 8] tensor, whose 8-wide lane dim tiles
+    16x-padded (~400 MB at the benchmark shape).
+
+    Execution: disparity-paired volume + block-diagonal tail (see
+    :func:`_pair_conv`); instance norm in the paired layout normalizes each
+    (sample*pair, channel-half) over H, W — identical to the per-disparity
+    norm of the reference (each of the 128 lanes belongs to exactly one
+    disparity). Falls back to :func:`apply` + fold for odd disparity counts
+    (only reachable in hand-built test configs).
+    """
+    if (maximum_disparity + 1) % 2:
+        from practicaldeepstereo_nips2018_tpu.ops import folded3d
+        return folded3d.fold(apply(params, left_descriptor, right_descriptor,
+                                   maximum_disparity))
+    paired_volume = costvolume.build_cost_volume_paired(
+        params["head"], left_descriptor, right_descriptor,
+        maximum_disparity)
+    batch, num_pairs, height, width, lanes = paired_volume.shape
+    x = paired_volume.reshape(batch * num_pairs, height, width, lanes)
+    paired_params = _pair_tail_params(params)
+    residual_count = sum(1 for name in params if name.startswith("residual"))
+    for i in range(residual_count):
+        x = blocks.residual_block(paired_params[f"residual{i + 1}"], x)
+    x = blocks.conv(paired_params["tail"], x)
+    # [B*P, H, W, 16] -> folded [B, H, W, P*16]; lane index
+    # p*16 + m*8 + c == disparity*8 + c — the fold order.
+    signatures = x.reshape(batch, num_pairs, height, width, x.shape[-1])
+    return jnp.moveaxis(signatures, 1, 3).reshape(
+        batch, height, width, num_pairs * x.shape[-1])

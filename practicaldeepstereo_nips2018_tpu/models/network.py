@@ -165,22 +165,21 @@ def apply_padded(params: dict,
     left_descriptor, shortcut_from_left = embedding.apply(
         params["embedding"], left)
     right_descriptor, _ = embedding.apply(params["embedding"], right)
-    matching_fn = matching.apply
-    regularization_fn = functools.partial(regularization.apply,
-                                          remat=config.remat)
+    # The matching -> regularization handoff stays in depth-FOLDED layout
+    # end to end (lane order (disparity, channel)); the unfolded
+    # [B, D, H, W, 8] tensor would tile 16x lane-padded (~400 MB at the
+    # benchmark shape) purely as an interface artifact.
+    matching_fn = functools.partial(
+        matching.apply_folded,
+        maximum_disparity=config.matching_maximum_disparity)
     if config.remat:
-        matching_fn = jax.checkpoint(
-            functools.partial(
-                matching.apply,
-                maximum_disparity=config.matching_maximum_disparity))
-        signatures = matching_fn(params["matching"], left_descriptor,
-                                 right_descriptor)
-    else:
-        signatures = matching_fn(params["matching"], left_descriptor,
-                                 right_descriptor,
-                                 config.matching_maximum_disparity)
-    return regularization_fn(params["regularization"], signatures,
-                             shortcut_from_left)
+        matching_fn = jax.checkpoint(matching_fn)
+    folded_signatures = matching_fn(params["matching"], left_descriptor,
+                                    right_descriptor)
+    return regularization.apply_folded(
+        params["regularization"], folded_signatures,
+        config.matching_maximum_disparity + 1, shortcut_from_left,
+        remat=config.remat)
 
 
 def infer(params: dict,
@@ -200,9 +199,11 @@ def infer(params: dict,
     # XLA estimator: fused convert+reduce passes over the similarity volume
     # measure FASTER (2.1 ms vs 3.4 ms at 960x540xD96) than the Pallas
     # single-pass kernel (``ops/subpixel_pallas.py``), whose lane-axis
-    # reductions are VPU-shuffle-bound rather than HBM-bound.
+    # reductions are VPU-shuffle-bound rather than HBM-bound. The volume is
+    # passed in its compute dtype; the estimator upconverts inside its fused
+    # reduction passes (see ``ops/subpixel.py``).
     disparity = subpixel.subpixel_map(
-        similarities.astype(jnp.float32),
+        similarities,
         half_support_window=config.estimator_half_support_window,
         disparity_step=config.disparity_step)
     return pad_ops.unpad(disparity, left_image.shape[1],

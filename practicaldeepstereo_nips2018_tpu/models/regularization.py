@@ -164,10 +164,23 @@ def apply(params: dict,
         disparity ``2*d`` pixels (the network upsamples disparity 2x from
         quarter resolution, spatial 4x; reference ``regularization.py:60-72``).
     """
+    return apply_folded(params, folded3d.fold(matching_signatures),
+                        matching_signatures.shape[1],
+                        shortcut_from_left_image, remat=remat)
+
+
+def apply_folded(params: dict,
+                 folded_signatures: jnp.ndarray,
+                 depth: int,
+                 shortcut_from_left_image: jnp.ndarray,
+                 remat: bool = False) -> jnp.ndarray:
+    """:func:`apply` taking the cost volume already in folded layout
+    ([B, H/4, W/4, D*C], lane order (disparity, channel)) — the layout the
+    paired matching stage (``models/matching.py::apply_folded``) produces
+    natively, so no [B, D, H, W, C] intermediate ever exists."""
     maybe_remat = jax.checkpoint if remat else (lambda fn: fn)
 
-    depth = matching_signatures.shape[1]
-    output = folded3d.fold(matching_signatures)
+    output = folded_signatures
     shortcut = folded3d.broadcast_shortcut(shortcut_from_left_image, depth)
 
     def smoothing_folded(p, x, level_depth=depth):

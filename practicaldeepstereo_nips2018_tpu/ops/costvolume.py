@@ -160,6 +160,67 @@ def build_cost_volume(head_conv_params: dict,
                                    maximum_disparity)
 
 
+def shift_accumulate_volume_paired(left_plane: jnp.ndarray,
+                                   right_plane_wide: jnp.ndarray,
+                                   edge_plane: jnp.ndarray,
+                                   maximum_disparity: int) -> jnp.ndarray:
+    """Disparity-PAIRED layout of :func:`shift_accumulate_volume`.
+
+    Returns [B, (D+1)/2, H, W, 2C]: adjacent disparities (2p, 2p+1) are
+    concatenated along the channel axis. Rationale (measured): the matching
+    tail runs disparity-batched convolutions with C=64 channels — bf16 lane
+    tiling pads 64 to 128, wasting half the HBM traffic of the ~200 MB
+    volume AND half the MXU columns (N=64). Pairing gives full 128-lane
+    tensors; the tail's block-diagonal kernels then trade 2x structural-zero
+    MACs for 2x MXU width (a wash) while HALVING every memory pass — the
+    tail is HBM-bound on its instance-norm passes, so this is the win.
+    ``(D+1)`` must be even (always true for valid network configs:
+    (max_disparity+1)/4 is a multiple of 16).
+    """
+    if (maximum_disparity + 1) % 2:
+        raise ValueError("paired volume needs an even disparity count")
+    width = left_plane.shape[-2]
+    padded = jnp.pad(right_plane_wide,
+                     [(0, 0), (0, 0), (maximum_disparity, 0), (0, 0)])
+
+    def shifted(d):
+        return lax.slice_in_dim(padded, maximum_disparity - d + 1,
+                                maximum_disparity - d + 1 + width, axis=2)
+
+    def correction_column(d):
+        if 1 <= d <= width:
+            return -edge_plane[:, :, width - d, :]
+        return jnp.zeros_like(left_plane[:, :, 0, :])
+
+    pairs = [
+        jnp.concatenate([shifted(2 * p), shifted(2 * p + 1)], axis=-1)
+        for p in range((maximum_disparity + 1) // 2)
+    ]
+    volume = jnp.stack(pairs, axis=1)  # [B, P, H, W, 2C]
+
+    corrections = jnp.stack([
+        jnp.concatenate([correction_column(2 * p),
+                         correction_column(2 * p + 1)], axis=-1)
+        for p in range((maximum_disparity + 1) // 2)
+    ], axis=1)  # [B, P, H, 2C]
+    volume = volume + jnp.pad(
+        corrections[:, :, :, None, :],
+        [(0, 0), (0, 0), (0, 0), (width - 1, 0), (0, 0)])
+    left_pair = jnp.concatenate([left_plane, left_plane], axis=-1)
+    return volume + left_pair[:, None]
+
+
+def build_cost_volume_paired(head_conv_params: dict,
+                             left_descriptor: jnp.ndarray,
+                             right_descriptor: jnp.ndarray,
+                             maximum_disparity: int) -> jnp.ndarray:
+    """Factored build directly in the disparity-paired layout."""
+    left_plane, right_plane_wide, edge_plane = matching_head_planes(
+        head_conv_params, left_descriptor, right_descriptor)
+    return shift_accumulate_volume_paired(left_plane, right_plane_wide,
+                                          edge_plane, maximum_disparity)
+
+
 def cost_volume_direct(head_conv_params: dict,
                        left_descriptor: jnp.ndarray,
                        right_descriptor: jnp.ndarray,

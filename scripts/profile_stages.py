@@ -80,28 +80,32 @@ def main():
     reg_params = jax.tree.map(lambda p: p.astype(DTYPE),
                               params["regularization"])
 
+    depth = config.matching_maximum_disparity + 1
+
     @jax.jit
     def precompute(left_p, right_p):
         desc_l, shortcut = emb(left_p)
         desc_r, _ = emb(right_p)
-        volume = matching.apply(match_params, desc_l, desc_r,
-                                config.matching_maximum_disparity)
-        similarities = regularization.apply(reg_params, volume, shortcut)
-        return desc_l, desc_r, shortcut, volume, similarities
+        folded = matching.apply_folded(match_params, desc_l, desc_r,
+                                       config.matching_maximum_disparity)
+        similarities = regularization.apply_folded(reg_params, folded, depth,
+                                                   shortcut)
+        return desc_l, desc_r, shortcut, folded, similarities
 
-    desc_l, desc_r, shortcut, volume, similarities = jax.block_until_ready(
+    desc_l, desc_r, shortcut, folded, similarities = jax.block_until_ready(
         precompute(left_p, right_p))
 
     t_emb = slope(looped(emb), left_p)
     print(f"embedding (one image): {t_emb*1e3:8.3f} ms")
     t_match = slope(
-        looped(lambda dl: matching.apply(
+        looped(lambda dl: matching.apply_folded(
             match_params, dl, desc_r, config.matching_maximum_disparity)),
         desc_l)
-    print(f"matching:              {t_match*1e3:8.3f} ms")
+    print(f"matching (folded):     {t_match*1e3:8.3f} ms")
     t_reg = slope(
-        looped(lambda v: regularization.apply(reg_params, v, shortcut)),
-        volume)
+        looped(lambda v: regularization.apply_folded(reg_params, v, depth,
+                                                     shortcut)),
+        folded)
     print(f"regularization:        {t_reg*1e3:8.3f} ms")
     t_est = slope(
         looped(lambda s: ops.subpixel_map(s.astype(jnp.float32))),

@@ -83,3 +83,38 @@ def test_matching_stage_output_shape():
     right = jax.random.normal(jax.random.PRNGKey(2), (2, 25, 25, 64))
     signatures = matching.apply(params, left, right, maximum_disparity=15)
     assert signatures.shape == (2, 16, 25, 25, 8)
+
+
+def test_paired_volume_matches_unpaired():
+    key = jax.random.PRNGKey(5)
+    head = matching.init(key)["head"]
+    left = jax.random.normal(jax.random.PRNGKey(6), (1, 6, 9, 64))
+    right = jax.random.normal(jax.random.PRNGKey(7), (1, 6, 9, 64))
+    for maximum_disparity in (3, 15, 25):
+        unpaired = costvolume.build_cost_volume(head, left, right,
+                                                maximum_disparity)
+        paired = costvolume.build_cost_volume_paired(head, left, right,
+                                                     maximum_disparity)
+        batch, pairs, height, width, lanes = paired.shape
+        assert pairs == (maximum_disparity + 1) // 2 and lanes == 128
+        # [B, P, H, W, 2C] -> [B, D, H, W, C]
+        as_unpaired = np.moveaxis(
+            np.asarray(paired).reshape(batch, pairs, height, width, 2, 64),
+            4, 2).reshape(batch, 2 * pairs, height, width, 64)
+        assert np.allclose(as_unpaired, np.asarray(unpaired), atol=1e-4), \
+            f"mismatch at D={maximum_disparity}"
+
+
+def test_apply_folded_matches_apply():
+    from practicaldeepstereo_nips2018_tpu.ops import folded3d
+    params = matching.init(jax.random.PRNGKey(0))
+    left = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 18, 64))
+    right = jax.random.normal(jax.random.PRNGKey(2), (1, 12, 18, 64))
+    for maximum_disparity in (15, 2):  # even count (paired) + odd (fallback)
+        reference = folded3d.fold(
+            matching.apply(params, left, right, maximum_disparity))
+        folded = matching.apply_folded(params, left, right,
+                                       maximum_disparity)
+        assert folded.shape == reference.shape
+        assert np.allclose(np.asarray(folded), np.asarray(reference),
+                           atol=1e-4), f"D={maximum_disparity}"
