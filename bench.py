@@ -37,13 +37,16 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pds_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from practicaldeepstereo_nips2018_tpu import models  # noqa: E402
+from practicaldeepstereo_nips2018_tpu import models, ops  # noqa: E402
+from practicaldeepstereo_nips2018_tpu.training import optimizer  # noqa: E402
+from practicaldeepstereo_nips2018_tpu.utils import flops  # noqa: E402
 
 BASELINE_SECONDS = 0.62
 HEIGHT, WIDTH = 540, 960
 MAXIMUM_DISPARITY = 191
+TRAIN_MAXIMUM_DISPARITY = 255  # the reference's training range
 SHORT_ITERATIONS = 2
 LONG_ITERATIONS = 10
 REPEATS = 3
@@ -87,6 +90,35 @@ def main():
         slopes.append((long - short) / (LONG_ITERATIONS - SHORT_ITERATIONS))
 
     seconds = statistics.median(slopes)
+
+    # ---- FLOPs / MFU accounting (utils/flops.py): useful = reference
+    # network math; executed = what the folded/paired program issues to the
+    # MXU. MFU is computed from EXECUTED MACs — the honest utilization of
+    # the chip; useful-MFU quantifies the structural-zero overhead the
+    # layout choices trade for full 128-lane tiling.
+    padded_height = -(-HEIGHT // 64) * 64
+    padded_width = -(-WIDTH // 64) * 64
+    accounting = flops.summarize(
+        flops.forward_macs(padded_height, padded_width, MAXIMUM_DISPARITY))
+    device_kind = jax.devices()[0].device_kind
+    peak = flops.peak_bf16_flops(device_kind)
+    flops_detail = {
+        "useful_gmacs": accounting["useful_gmacs"],
+        "executed_gmacs": accounting["executed_gmacs"],
+        "structural_overhead": accounting["structural_overhead"],
+    }
+    if peak is not None:
+        executed_flops = accounting["executed_gmacs"] * 2e9
+        useful_flops = accounting["useful_gmacs"] * 2e9
+        flops_detail.update({
+            "peak_bf16_tflops": peak / 1e12,
+            "mfu_executed_pct": round(
+                100 * executed_flops / seconds / peak, 1),
+            "mfu_useful_pct": round(100 * useful_flops / seconds / peak, 1),
+        })
+
+    train_seconds = train_step_seconds()
+
     print(json.dumps({
         "metric": "time_per_image",
         "value": round(seconds, 5),
@@ -100,8 +132,77 @@ def main():
             "frames_per_second": round(1.0 / seconds, 2),
             "slope_samples_s": [round(s, 5) for s in slopes],
             "baseline_seconds": BASELINE_SECONDS,
+            "flops": flops_detail,
+            "train_step_seconds": (round(train_seconds, 5)
+                                   if train_seconds is not None else None),
+            "train_step_config": {
+                "shape": [HEIGHT, WIDTH], "batch": 1,
+                "maximum_disparity": TRAIN_MAXIMUM_DISPARITY,
+                "compute_dtype": "bfloat16", "remat": True,
+            },
         },
     }))
+
+
+def train_step_seconds() -> float | None:
+    """Seconds per donated full-resolution training step (the reference's
+    training config: 960x540 batch 1, D=255, RMSprop — its 160k-iteration
+    run is gated by this number, ``train_on_flyingthings3d.py:57-81``).
+    Same device-loop slope methodology as the eval metric."""
+    config = models.PDSConfig(maximum_disparity=TRAIN_MAXIMUM_DISPARITY,
+                              remat=True)
+    params = models.init(jax.random.PRNGKey(0), config)
+    transform = optimizer.rmsprop()
+    opt_state = transform.init(params)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    left = jax.random.uniform(keys[0], (1, HEIGHT, WIDTH, 3),
+                              jnp.float32) * 255.0
+    right = jax.random.uniform(keys[1], (1, HEIGHT, WIDTH, 3),
+                               jnp.float32) * 255.0
+    ground_truth = jax.random.uniform(keys[2], (1, HEIGHT, WIDTH),
+                                      jnp.float32) * 200.0
+
+    @jax.jit
+    def run(params, opt_state, left, right, ground_truth, iterations):
+        def step(_, carry):
+            params, opt_state, _ = carry
+
+            def loss_fn(p):
+                similarities = models.apply(p, left, right, config,
+                                            compute_dtype=jnp.bfloat16)
+                return ops.subpixel_cross_entropy(
+                    similarities, ground_truth,
+                    disparity_step=config.disparity_step)
+
+            loss, gradients = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt_state = transform.update(gradients, opt_state)
+            new_params = jax.tree.map(lambda p, u: p - 1e-2 * u, params,
+                                      updates)
+            return new_params, new_opt_state, loss
+
+        carry = jax.lax.fori_loop(
+            0, iterations, step, (params, opt_state, jnp.float32(0.0)))
+        return carry[-1]
+
+    def timed(iterations: int) -> float:
+        start = time.perf_counter()
+        float(run(params, opt_state, left, right, ground_truth, iterations))
+        return time.perf_counter() - start
+
+    try:
+        float(run(params, opt_state, left, right, ground_truth, 1))  # compile
+        samples = []
+        for _ in range(REPEATS):
+            short = timed(SHORT_ITERATIONS)
+            long = timed(LONG_ITERATIONS)
+            samples.append(
+                (long - short) / (LONG_ITERATIONS - SHORT_ITERATIONS))
+        return statistics.median(samples)
+    except Exception as error:  # noqa: BLE001 — the headline metric must
+        # still print if the training-step program cannot run here.
+        print(f"train_step benchmark failed: {error}", file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":

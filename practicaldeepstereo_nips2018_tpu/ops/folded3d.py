@@ -23,11 +23,31 @@ depth block ``i`` through depth tap ``j`` with
 (the transposed relation is the gather convention of
 ``models/blocks.py::conv_transpose``: input depth-dilated by ``stride``,
 padded ``kd-1-pad``). All other (i, o) pairs are zero. The dense form wastes
-~D/kd of the MACs on structural zeros, but these layers are a small share of
-total FLOPs and the dense 384x384 channel matmul runs at full MXU
-utilization — measured, it beats the lane-padded NDHWC form by an order of
-magnitude. (A Pallas block-sparse kernel can reclaim the structural zeros
-later without changing this interface.)
+~D/kd of the MACs on structural zeros, but the dense 384x384 channel matmul
+runs at full MXU utilization — measured, it beats the lane-padded NDHWC
+form by an order of magnitude.
+
+Why the structural zeros are NOT reclaimed by a block-banded kernel
+(investigated on hardware, round 2):
+
+* XLA:TPU already skips the SPATIAL dilation zeros of the transposed convs
+  (``scripts/microbench_transpose.py``: the lhs_dilated form beats a
+  hand-phased decomposition 1.6x and its timing implies ~87% MFU counting
+  only non-dilated taps) — the naive 16-taps-per-output worry is moot.
+* The remaining waste is the dense DEPTH band: useful contraction width is
+  ``kd * cin`` = 24 lanes (48 in the upsamplers) against the MXU's 128-lane
+  tile. Any banded/batched-small-matmul formulation caps the contraction at
+  those 24-48 lanes, i.e. <= 19-38% MXU issue width — bounding the best
+  possible win at ~2-3x on these layers. Splitting the depth axis into
+  halo'd lane-groups of 128 reaches that bound only for D*cin >> 128; at
+  this network's 384 lanes there are 3 groups with a 3-group band — zero
+  reduction (measured arithmetic identity, not an implementation gap).
+* The hourglass tensors are small (~33 MB per level): group-gather/relayout
+  traffic of a banded decomposition costs about what the skipped MACs save
+  at HBM speed. The measured hourglass is ~7 ms of a ~20 ms forward; its
+  executed-MAC MFU is already near the chip roofline (``utils/flops.py``
+  separates useful vs executed MACs so the overhead stays auditable in
+  every bench artifact).
 
 Instance norm in folded layout normalizes per (sample, channel) over
 (D, H, W) — bit-equal to the NDHWC form.

@@ -24,7 +24,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pds_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HEIGHT, WIDTH, LANES_IN, LANES_OUT = 144, 240, 384, 384
 SHORT, LONG, REPEATS = 4, 20, 3
@@ -88,6 +88,11 @@ def main():
                               kernel.astype(jnp.float32))
     max_diff = float(jnp.max(jnp.abs(reference - phased)))
     print(f"max |dilated - phased| (f32): {max_diff:.2e}")
+    if max_diff > 1e-4:
+        raise SystemExit(
+            f"phase decomposition does not match the dilated conv "
+            f"(max diff {max_diff:.2e}) — the timing comparison below "
+            f"would be between different computations")
 
     t_dilated = slope(transpose_dilated, x, kernel)
     t_phased = slope(transpose_phased, x, kernel)

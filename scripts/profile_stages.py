@@ -18,7 +18,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/pds_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from practicaldeepstereo_nips2018_tpu import models, ops  # noqa: E402
 from practicaldeepstereo_nips2018_tpu.models import (  # noqa: E402
