@@ -54,7 +54,8 @@ class Loader:
                  seed: int = 0,
                  host_index: int = 0,
                  host_count: int = 1,
-                 prefetch_factor: int = 2):
+                 prefetch_factor: int = 2,
+                 equal_shards: bool = False):
         """Args:
             dataset: indexable dataset of example dicts.
             batch_size: per-HOST batch size (the device mesh further splits
@@ -68,6 +69,14 @@ class Loader:
                 (multi-host data parallelism; every host must use the same
                 seed so the shards partition each epoch's permutation).
             prefetch_factor: number of examples decoded ahead, per worker.
+            equal_shards: truncate every host's shard to the GLOBAL minimum
+                (drop the epoch's remainder examples). Required for
+                cross-process mesh training, where every host must execute
+                the same number of collective train steps — an unequal split
+                (e.g. 2+1 over two hosts) deadlocks the lagging host's
+                collective. Leave False for eval, where full coverage
+                matters and the metric reduction is a single per-epoch
+                collective that tolerates unequal shard sizes.
         """
         self._dataset = dataset
         self._batch_size = batch_size
@@ -78,6 +87,7 @@ class Loader:
         self._host_index = host_index
         self._host_count = host_count
         self._prefetch = max(1, prefetch_factor) * max(1, num_workers)
+        self._equal_shards = equal_shards
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -89,7 +99,10 @@ class Loader:
         if self._shuffle:
             random.Random(self._seed + self._epoch).shuffle(indices)
         # Host shard: contiguous stride partition of the permuted stream.
-        return indices[self._host_index::self._host_count]
+        shard = indices[self._host_index::self._host_count]
+        if self._equal_shards and self._host_count > 1:
+            shard = shard[:len(indices) // self._host_count]
+        return shard
 
     def __len__(self) -> int:
         number = len(self._epoch_indices())

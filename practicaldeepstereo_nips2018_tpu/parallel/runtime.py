@@ -38,12 +38,29 @@ def initialize_distributed(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id)
         _initialized = True
-    except (ValueError, RuntimeError):
-        # No cluster environment to discover (or the backend was already
-        # initialized). Explicit-argument misconfiguration must not be
-        # silently swallowed.
+    except (ValueError, RuntimeError) as error:
+        # Explicit-argument misconfiguration must not be silently swallowed.
         if coordinator_address is not None:
             raise
+        # No-arg discovery failed. That is expected on plain single-process
+        # setups — but on a machine that LOOKS like a cluster member
+        # (coordinator/pod environment variables present), silently
+        # degrading to single-process topology would train a diverged model
+        # per host; warn loudly so the misconfiguration is visible.
+        import os
+        import warnings
+        cluster_variables = [
+            name for name in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                              "MEGASCALE_COORDINATOR_ADDRESS",
+                              "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID")
+            if os.environ.get(name)]
+        if cluster_variables:
+            warnings.warn(
+                "jax.distributed.initialize() discovery failed "
+                f"({error}) although cluster environment variables "
+                f"{cluster_variables} are set — running SINGLE-process; "
+                "on a real pod this is a misconfiguration.",
+                RuntimeWarning, stacklevel=2)
     return topology()
 
 

@@ -51,6 +51,48 @@ def compatible_batch_sharding(mesh: Mesh, shape: tuple) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh's devices belong to more than one process (a
+    cross-host mesh: host-local batches are only a SHARD of the global
+    batch and must be assembled with :func:`global_batch_from_host_local`,
+    never ``device_put`` directly)."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def global_batch_from_host_local(mesh: Mesh,
+                                 host_local: "np.ndarray") -> jax.Array:
+    """Assembles the GLOBAL batch array from this host's loader shard.
+
+    Under a cross-process mesh each host's input pipeline yields a disjoint
+    per-host batch (``data/loader.py`` host sharding). ``jax.device_put``
+    would treat that per-host array as the full global value — every host
+    feeding different data into what XLA assumes is one replicated tensor,
+    silently diverging. The correct assembly is
+    ``jax.make_array_from_process_local_data``: the global batch dimension is
+    ``per_host_batch * process_count`` and each process contributes exactly
+    the rows its addressable devices own.
+
+    Requires the global batch to actually shard over the ``data`` axis
+    (otherwise every device would need every example, which per-host loading
+    cannot provide) — a per-host batch size of
+    ``mesh.data_axis / process_count`` per device multiple satisfies it.
+    """
+    import numpy as np
+    process_count = len({d.process_index for d in mesh.devices.flat})
+    host_local = np.asarray(host_local)
+    global_shape = ((host_local.shape[0] * process_count,)
+                    + host_local.shape[1:])
+    placement = compatible_batch_sharding(mesh, global_shape)
+    if placement.spec[0] is None:
+        raise ValueError(
+            "multi-host mesh training needs the global batch "
+            f"(= per-host {host_local.shape[0]} x {process_count} processes "
+            f"= {global_shape[0]}) to divide the mesh data axis "
+            f"({mesh.shape[DATA_AXIS]}); raise the per-host batch size")
+    return jax.make_array_from_process_local_data(placement, host_local,
+                                                  global_shape)
+
+
 def image_spec() -> P:
     """[B, H, W, C] images / descriptors."""
     return P(DATA_AXIS, None, VOLUME_AXIS, None)

@@ -77,6 +77,11 @@ class PDSTrainer:
         self._loss_diversity = loss_diversity
         self._compute_dtype = compute_dtype
         self._mesh = mesh
+        if mesh is not None:
+            from practicaldeepstereo_nips2018_tpu.parallel import sharding
+            self._mesh_spans_processes = sharding.spans_processes(mesh)
+        else:
+            self._mesh_spans_processes = False
         self._number_of_examples_to_visualize = (
             number_of_examples_to_visualize)
 
@@ -187,29 +192,44 @@ class PDSTrainer:
     # Device placement
     # ------------------------------------------------------------------
 
-    def _place(self, array: np.ndarray):
-        array = jnp.asarray(array)
-        if self._mesh is None:
-            return array
-        # Per-shape sharding: training batches shard B over ``data`` and W
-        # over ``volume``; validation batches are batch_size=1 (the
-        # reference's eval protocol) and degrade to replicated-B
-        # automatically instead of crashing the device_put.
-        key = array.shape
+    def _place(self, array: np.ndarray, for_training: bool = False):
+        """Puts a host batch on device(s).
+
+        Three regimes:
+        * no mesh — plain local array;
+        * single-process mesh — ``device_put`` with the batch sharded over
+          ``data``/``volume`` (degrading per-shape, see
+          ``compatible_batch_sharding``);
+        * cross-process mesh, TRAINING — the host-local loader shard is
+          only part of the global batch: assemble it with
+          ``make_array_from_process_local_data`` so the jitted step sees
+          one global array (``device_put`` here would silently feed each
+          host's different examples into what XLA assumes is a single
+          replicated tensor — divergence with no error).
+        Cross-process EVAL stays host-local (each host evaluates its own
+        loader shard independently; ``_reduce_test_metrics`` makes the
+        metrics global) — so it falls through to the no-mesh path.
+        """
+        if self._mesh is None or (self._mesh_spans_processes
+                                  and not for_training):
+            return jnp.asarray(array)
+        from practicaldeepstereo_nips2018_tpu.parallel import sharding
+        if self._mesh_spans_processes:
+            return sharding.global_batch_from_host_local(self._mesh, array)
+        key = np.asarray(array).shape
         placement = self._sharding_cache.get(key)
         if placement is None:
-            from practicaldeepstereo_nips2018_tpu.parallel import sharding
             placement = sharding.compatible_batch_sharding(
-                self._mesh, array.shape)
+                self._mesh, key)
             self._sharding_cache[key] = placement
-        return jax.device_put(array, placement)
+        return jax.device_put(jnp.asarray(array), placement)
 
-    def _batch_arrays(self, batch: dict):
-        left = self._place(batch["left"]["image"])
-        right = self._place(batch["right"]["image"])
+    def _batch_arrays(self, batch: dict, for_training: bool = False):
+        left = self._place(batch["left"]["image"], for_training)
+        right = self._place(batch["right"]["image"], for_training)
         ground_truth = batch["left"].get("disparity_image")
         if ground_truth is not None:
-            ground_truth = self._place(ground_truth)
+            ground_truth = self._place(ground_truth, for_training)
         return left, right, ground_truth
 
     # ------------------------------------------------------------------
@@ -228,7 +248,8 @@ class PDSTrainer:
                     "epoch {0:02d} ({1:02d}) : training: {2:05d} ({3:05d})"
                     .format(self._current_epoch + 1, self._end_epoch,
                             batch_index + 1, number_of_batches))
-            left, right, ground_truth = self._batch_arrays(batch)
+            left, right, ground_truth = self._batch_arrays(
+                batch, for_training=True)
             self._params, self._opt_state, loss = self._train_step(
                 self._params, self._opt_state, left, right, ground_truth,
                 learning_rate)
@@ -249,6 +270,18 @@ class PDSTrainer:
                                        self._end_epoch, example_index + 1,
                                        number_of_examples))
             left, right, ground_truth = self._batch_arrays(example)
+            if example_index == 0:
+                # Warm-up: the first call triggers jit compilation (tens of
+                # seconds), which must not pollute the reported per-image
+                # time — the reference's number is steady-state GPU time
+                # behind cuda.synchronize fences (``trainer.py:141-148``).
+                if ground_truth is None:
+                    jax.block_until_ready(
+                        self._infer_step(self._params, left, right))
+                else:
+                    jax.block_until_ready(
+                        self._eval_step(self._params, left, right,
+                                        ground_truth))
             start_time = time.time()
             if ground_truth is None:
                 # Benchmark sets without ground truth (e.g. KITTI testing):
@@ -310,9 +343,13 @@ class PDSTrainer:
         ground-truth-less benchmark examples. Files are named after the
         example's own source basename (e.g. ``000012_10.png``) so the export
         is correct under any loader order; position-derived names are only a
-        fallback for datasets without path records."""
-        if jax.process_index() != 0:
-            return
+        fallback for datasets without path records.
+
+        Multi-host: EVERY host writes its own loader shard's PNGs (the test
+        loader is host-sharded, so a process-0-only export would silently
+        drop the other hosts' examples); source-derived names are
+        collision-free across hosts, and the positional fallback is prefixed
+        with the process index."""
         import cv2
         folder = os.path.join(self._experiment_folder, "submission")
         os.makedirs(folder, exist_ok=True)
@@ -323,7 +360,9 @@ class PDSTrainer:
             else:
                 position = (example_index * disparity.shape[0]
                             + index_in_batch)
-                filename = f"{position:06d}_10.png"
+                prefix = (f"host{jax.process_index()}_"
+                          if jax.process_count() > 1 else "")
+                filename = f"{prefix}{position:06d}_10.png"
             encoded = np.clip(disparity[index_in_batch] * 256.0, 0,
                               65535).astype(np.uint16)
             cv2.imwrite(os.path.join(folder, filename), encoded)

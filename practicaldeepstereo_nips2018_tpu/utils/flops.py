@@ -33,8 +33,9 @@ class StageMacs:
     executed: int
 
 
-# bf16 peak MACs/s (= FLOPs/s / 2) per chip generation; keyed by substrings
-# of ``jax.devices()[0].device_kind``. Sources: published TPU specs.
+# Peak bf16 FLOPs/s per chip generation (the MFU math below counts each MAC
+# as 2 FLOPs against these); keyed by substrings of
+# ``jax.devices()[0].device_kind``. Sources: published TPU specs.
 _PEAK_BF16_FLOPS = {
     "v6": 918e12,
     "v5p": 459e12,

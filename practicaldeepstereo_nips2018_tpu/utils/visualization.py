@@ -94,6 +94,38 @@ def save_matrix(filename: str,
     plt.close(figure)
 
 
+def plot_points_on_background(points_coordinates: np.ndarray,
+                              background: np.ndarray,
+                              points_color=(0, 0, 255)) -> np.ndarray:
+    """Returns ``background`` with the given pixels painted ``points_color``.
+
+    Channels-last re-implementation of the reference's
+    ``visualization.py:96-117``, keeping its validation contract: the
+    background must be a color image, and every point must lie inside it
+    (out-of-bounds coordinates raise ``ValueError`` instead of silently
+    wrapping through negative indexing).
+
+    Args:
+        points_coordinates: [N, 2] array of (y, x) coordinates.
+        background: [H, W, 3] byte image.
+        points_color: (red, green, blue) byte color.
+    """
+    background = np.asarray(background)
+    if not (background.ndim == 3 and background.shape[2] == 3):
+        raise ValueError("background should be (height x width x color).")
+    height, width = background.shape[:2]
+    with_points = background.copy()
+    points_coordinates = np.asarray(points_coordinates).reshape(-1, 2)
+    if points_coordinates.size:
+        y, x = points_coordinates[:, 0], points_coordinates[:, 1]
+        if not (y.min() >= 0 and x.min() >= 0 and y.max() < height
+                and x.max() < width):
+            raise ValueError(
+                'points coordinates are outside of "background" boundaries.')
+        with_points[y, x] = np.asarray(points_color, dtype=background.dtype)
+    return with_points
+
+
 def overlay_image_with_binary_error(color_image: np.ndarray,
                                     binary_error: np.ndarray) -> np.ndarray:
     """Returns the [H, W, 3] image washed out, with error pixels in blue.
@@ -103,10 +135,8 @@ def overlay_image_with_binary_error(color_image: np.ndarray,
         binary_error: [H, W] boolean/byte mask; nonzero marks an error.
     """
     washed_out = np.asarray(color_image).astype(np.uint8) // 2 + 128
-    overlaid = washed_out.copy()
-    overlaid[np.asarray(binary_error) != 0] = np.array([0, 0, 255],
-                                                       dtype=np.uint8)
-    return overlaid
+    points = np.argwhere(np.asarray(binary_error) != 0)
+    return plot_points_on_background(points, washed_out)
 
 
 def plot_losses_and_errors(filename: str,

@@ -1,19 +1,31 @@
-"""Worker process for the 2-process distributed runtime test.
+"""Worker process for the 2-process distributed runtime tests.
 
 Launched by ``tests/test_multihost.py`` (one instance per process). Joins
-the JAX distributed runtime on CPU, then exercises the three multi-host
-contracts the single-process suite cannot: the host-sharded ``Loader``, the
-cross-host eval-metric reduction of ``PDSTrainer._test``, and single-writer
-log/checkpoint output. Results are dumped as JSON for the parent to assert.
+the JAX distributed runtime on CPU, then exercises the multi-host contracts
+the single-process suite cannot:
 
-Usage: python multihost_worker.py <process_id> <port> <output_json> <folder>
+* the host-sharded ``Loader`` + cross-host eval-metric reduction of
+  ``PDSTrainer._test`` and single-writer log/checkpoint output (eval phase);
+* cross-process MESH TRAINING: a (data=4) mesh spanning both processes,
+  per-host loader shards assembled into the global batch via
+  ``make_array_from_process_local_data`` — the worker dumps its final
+  parameters so the parent can assert both hosts stay bit-identical and
+  match a single-process 4-device run on the same global batch.
+
+Results are dumped as JSON (+ a params .npz) for the parent to assert.
+
+Usage:
+  python multihost_worker.py <process_id> <port> <output_json> <folder>
+  python multihost_worker.py single <ignored> <output_json> <folder>
 """
 
 import json
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+SINGLE = sys.argv[1] == "single"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={}".format(
+    4 if SINGLE else 2)
 
 import jax  # noqa: E402
 
@@ -26,28 +38,41 @@ import numpy as np  # noqa: E402
 
 from practicaldeepstereo_nips2018_tpu import models  # noqa: E402
 from practicaldeepstereo_nips2018_tpu.data import Loader  # noqa: E402
-from practicaldeepstereo_nips2018_tpu.parallel import runtime  # noqa: E402
+from practicaldeepstereo_nips2018_tpu.parallel import (  # noqa: E402
+    make_mesh, runtime)
 from practicaldeepstereo_nips2018_tpu.training import (  # noqa: E402
     PDSTrainer, checkpoint)
 
 NUMBER_OF_EXAMPLES = 3
+NUMBER_OF_TRAIN_EXAMPLES = 4
 HEIGHT, WIDTH = 64, 96
 
 
 class SyntheticStereoDataset:
     """Deterministic in-memory dataset (identical on every host)."""
 
+    def __init__(self, number_of_examples: int = NUMBER_OF_EXAMPLES,
+                 seed_base: int = 100):
+        self._number_of_examples = number_of_examples
+        self._seed_base = seed_base
+
     def __len__(self):
-        return NUMBER_OF_EXAMPLES
+        return self._number_of_examples
 
     def __getitem__(self, index: int) -> dict:
-        rng = np.random.RandomState(100 + index)
+        rng = np.random.RandomState(self._seed_base + index)
+        # Even/odd examples get clearly different disparity ranges (near-0
+        # targets truncate the Laplace label -> materially different loss
+        # level), so the host shards {0,2} and {1,3} have distinguishable
+        # mean losses — the batch-content probe in test_multihost.py needs
+        # the broken per-host multisets to sit far from the global mean.
+        low, high = (0.0, 4.0) if index % 2 == 0 else (25.0, 40.0)
         return {
             "left": {
                 "image": rng.uniform(
                     0, 255, (HEIGHT, WIDTH, 3)).astype(np.float32),
                 "disparity_image": rng.uniform(
-                    0, 40, (HEIGHT, WIDTH)).astype(np.float32),
+                    low, high, (HEIGHT, WIDTH)).astype(np.float32),
             },
             "right": {
                 "image": rng.uniform(
@@ -59,12 +84,85 @@ class SyntheticStereoDataset:
         return {"left": {"image": f"example_{index:03d}.png"}}
 
 
+def train_phase(topology: dict, experiment_folder: str):
+    """Two epochs of mesh training over all 4 devices; global batch 4.
+
+    The optimizer is replaced with an IDENTITY gradient transform so the
+    final parameters are ``init - lr * sum(gradients)`` — an exact probe of
+    the global-batch assembly and gradient collectives. (RMSprop's early
+    steps normalize by ~0.1|g|, which amplifies benign summation-order
+    noise on near-zero gradient elements into sign-flipped updates; the
+    RMSprop rule itself is pinned against torch in ``test_training.py``.)
+    """
+    import optax
+
+    dataset = SyntheticStereoDataset(NUMBER_OF_TRAIN_EXAMPLES, seed_base=200)
+    host_count = topology["process_count"]
+    per_host_batch = NUMBER_OF_TRAIN_EXAMPLES // host_count
+    loader = Loader(dataset, batch_size=per_host_batch, num_workers=1,
+                    host_index=topology["process_index"],
+                    host_count=host_count, equal_shards=True)
+    config = models.PDSConfig(maximum_disparity=63)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=models.init(jax.random.PRNGKey(0), config),
+        training_set_loader=loader,
+        experiment_folder=os.path.join(experiment_folder, "train"),
+        initial_learning_rate=1e-3,
+        end_epoch=2,
+        mesh=make_mesh(data=4, volume=1))
+    trainer._optimizer = optax.identity()
+    trainer._opt_state = trainer._optimizer.init(trainer.params)
+    # Host-side snapshot: the live buffers get DONATED by the train step.
+    initial_params = jax.tree.map(lambda leaf: np.array(leaf),
+                                  trainer.params)
+    trainer.train()
+    leaves = [np.asarray(leaf) for leaf in jax.tree.leaves(trainer.params)]
+
+    # Per-example losses at the initial parameters, computed host-locally on
+    # one device: their mean must equal the mesh epoch-1 loss, which
+    # certifies the assembled global batch contains exactly examples
+    # {0, 1, 2, 3} (the silent-divergence failure mode feeds each host's
+    # own shard as the whole batch — a different multiset, different mean).
+    import jax.numpy as jnp
+    from practicaldeepstereo_nips2018_tpu import ops
+
+    @jax.jit
+    def example_loss(params, left, right, ground_truth):
+        similarities = models.apply(params, left, right, config)
+        return ops.subpixel_cross_entropy(
+            similarities, ground_truth,
+            disparity_step=config.disparity_step)
+
+    per_example_losses = []
+    for index in range(NUMBER_OF_TRAIN_EXAMPLES):
+        example = dataset[index]
+        per_example_losses.append(float(example_loss(
+            initial_params,
+            jnp.asarray(example["left"]["image"][None]),
+            jnp.asarray(example["right"]["image"][None]),
+            jnp.asarray(example["left"]["disparity_image"][None]))))
+
+    return trainer.training_losses, leaves, per_example_losses
+
+
 def main():
-    process_id = int(sys.argv[1])
     port = sys.argv[2]
     output_filename = sys.argv[3]
     experiment_folder = sys.argv[4]
 
+    if SINGLE:
+        topology = runtime.topology()
+        train_losses, leaves, per_example_losses = train_phase(
+            topology, experiment_folder)
+        np.savez(output_filename + ".params.npz",
+                 *[leaf for leaf in leaves])
+        with open(output_filename, "w") as handle:
+            json.dump({"topology": topology, "train_losses": train_losses,
+                       "per_example_losses": per_example_losses}, handle)
+        return
+
+    process_id = int(sys.argv[1])
     topology = runtime.initialize_distributed(
         coordinator_address=f"127.0.0.1:{port}", num_processes=2,
         process_id=process_id)
@@ -84,12 +182,18 @@ def main():
     errors, processing_time = trainer.test()
     trainer._save_checkpoint()
 
+    train_losses, leaves, per_example_losses = train_phase(
+        topology, experiment_folder)
+    np.savez(output_filename + ".params.npz", *[leaf for leaf in leaves])
+
     with open(output_filename, "w") as handle:
         json.dump({
             "topology": topology,
             "shard_names": shard_names,
             "errors": errors,
             "processing_time": processing_time,
+            "train_losses": train_losses,
+            "per_example_losses": per_example_losses,
             "checkpoint_filename": checkpoint.checkpoint_filename(
                 experiment_folder, 1),
         }, handle)

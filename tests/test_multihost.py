@@ -8,7 +8,11 @@ processes join one JAX distributed runtime and the test asserts
 * the host-sharded ``Loader`` partitions the example stream disjointly,
 * ``PDSTrainer.test()`` returns IDENTICAL global metrics on every host
   (per-host sums reduced over the runtime, not per-host means),
-* log.txt and the checkpoint are written once (single-writer discipline).
+* log.txt and the checkpoint are written once (single-writer discipline),
+* cross-process MESH TRAINING is correct: both hosts' parameters stay
+  bit-identical after two epochs over a (data=4) mesh spanning the two
+  processes (per-host loader shards assembled into one global batch), and
+  match a single-process 4-device run on the same global batch.
 """
 
 import json
@@ -46,9 +50,18 @@ def test_two_process_runtime(tmp_path):
             stderr=subprocess.STDOUT)
         for pid in range(2)
     ]
-    logs = [worker.communicate(timeout=600)[0].decode() for worker in workers]
+    logs = [worker.communicate(timeout=900)[0].decode() for worker in workers]
     for worker, log in zip(workers, logs):
         assert worker.returncode == 0, log[-4000:]
+
+    # Single-process 4-device reference run of the same training phase.
+    single_output = str(tmp_path / "out_single.json")
+    single = subprocess.run(
+        [sys.executable, WORKER, "single", "0", single_output,
+         str(tmp_path / "single")],
+        env=environment, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=900)
+    assert single.returncode == 0, single.stdout.decode()[-4000:]
 
     results = []
     for filename in outputs:
@@ -84,3 +97,54 @@ def test_two_process_runtime(tmp_path):
     assert results[0]["checkpoint_filename"] == results[1][
         "checkpoint_filename"]
     assert os.path.isfile(results[0]["checkpoint_filename"])
+
+    # Mesh training: identical losses and BIT-IDENTICAL parameters on both
+    # hosts (they execute one SPMD program over one global batch)...
+    import numpy as np
+    assert results[0]["train_losses"] == results[1]["train_losses"]
+    assert len(results[0]["train_losses"]) == 2
+    params = []
+    for filename in outputs + [single_output]:
+        with np.load(filename + ".params.npz") as archive:
+            params.append([archive[k] for k in archive.files])
+    for leaf0, leaf1 in zip(params[0], params[1]):
+        np.testing.assert_array_equal(leaf0, leaf1)
+
+    # ... and equal (to float tolerance: the global batch is the same SET
+    # of examples, assembled in a different device order, and both the loss
+    # and the summed gradient are order-invariant means) to the
+    # single-process 4-device run. The worker trains with an identity
+    # gradient transform, so the parameters probe the gradients exactly.
+    with open(single_output) as handle:
+        single_result = json.load(handle)
+    assert single_result["topology"]["process_count"] == 1
+    for multi_loss, single_loss in zip(results[0]["train_losses"],
+                                       single_result["train_losses"]):
+        assert abs(multi_loss - single_loss) < 1e-3 * max(
+            1.0, abs(single_loss))
+    # Parameter tolerance is bounded by XLA:CPU compiling DIFFERENT
+    # accumulation orders for the two process topologies (LeakyReLU-kink
+    # flips amplify ~1e-6 activation noise into ~1e-2-relative gradient
+    # noise on small elements); real divergence is caught by the content
+    # probe below, the loss comparison above, and cross-host bit-identity.
+    for leaf_multi, leaf_single in zip(params[0], params[2]):
+        np.testing.assert_allclose(leaf_multi, leaf_single, rtol=2e-2,
+                                   atol=5e-4)
+
+    # Batch-content probe: the mesh epoch-1 loss (at the shared initial
+    # parameters) must equal the mean of the four per-example losses — the
+    # silent-divergence failure mode (each host feeding its own shard as
+    # the whole batch) averages a DIFFERENT multiset. Also check the probe
+    # can actually discriminate: the broken-path candidates (either host's
+    # shard duplicated) sit much further from the epoch-1 loss than the
+    # correct mean does.
+    per_example = results[0]["per_example_losses"]
+    assert results[0]["per_example_losses"] == results[1][
+        "per_example_losses"]
+    epoch1_loss = results[0]["train_losses"][0]
+    correct_mean_error = abs(np.mean(per_example) - epoch1_loss)
+    assert correct_mean_error < 1e-3
+    for broken_multiset in ([per_example[0], per_example[2]] * 2,
+                            [per_example[1], per_example[3]] * 2):
+        broken_error = abs(np.mean(broken_multiset) - epoch1_loss)
+        assert broken_error > max(10 * correct_mean_error, 5e-3)

@@ -1,0 +1,281 @@
+"""Cross-framework parity on the reference's REAL bundled stereo fixtures.
+
+The synthetic-fixture data tests (``test_data.py``) pin this framework's
+dataset logic against itself; this module pins it against the reference
+implementation ON THE REFERENCE'S OWN DATA — 4 FlyingThings3D pairs with
+true Blender-rendered PFM disparities and a KITTI 2012+2015 layout with
+real uint16/256 disparity PNGs (``/root/reference/test/data/``). Asserted,
+stack vs stack on identical copies of the fixture tree:
+
+* example DISCOVERY: the same files survive the same split/filter/protocol
+  rules (training max-disparity filter, PSM-vs-CRL benchmark protocols,
+  KITTI's seed(0) validation split) in the same order;
+* example DECODING: bit-equal images (cv2 BGR->RGB float) and disparities
+  (PFM endianness + vertical flip; KITTI 8-bit quirk + reflective merge +
+  zero->inf) for every example;
+* end-to-end BENCHMARK-PROTOCOL EVALUATION: identical random-init weights
+  (imported from the torch reference via ``training/torch_import``) pushed
+  through both stacks' full eval paths — reference torch network + its
+  errors module, vs ``FlyingThings3D.benchmark_dataset`` -> ``Loader`` ->
+  ``PDSTrainer.test()`` — produce the same MAE / 3PE.
+
+Reference bars: ``test/test_flyingthings3d_dataset.py:29-63``,
+``test/test_kitti_dataset.py:38-55``, ``README.md:35-42``.
+"""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+REFERENCE_ROOT = "/root/reference"
+REFERENCE_DATA = os.path.join(REFERENCE_ROOT, "test", "data")
+if REFERENCE_ROOT not in sys.path:
+    sys.path.insert(0, REFERENCE_ROOT)
+
+from practical_deep_stereo import (  # noqa: E402
+    errors as reference_errors,
+    flyingthings3d_dataset as reference_flyingthings3d,
+    kitti_dataset as reference_kitti,
+    network as reference_network,
+    transformers as reference_transformers,
+)
+
+import jax  # noqa: E402
+
+from practicaldeepstereo_nips2018_tpu import models  # noqa: E402
+from practicaldeepstereo_nips2018_tpu.data import (  # noqa: E402
+    FlyingThings3D, Kitti, Loader, transforms)
+from practicaldeepstereo_nips2018_tpu.training import (  # noqa: E402
+    PDSTrainer, torch_import)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DATA),
+    reason="reference fixture data not available")
+
+
+@pytest.fixture(scope="module")
+def fixture_copies(tmp_path_factory):
+    """Two private copies of each fixture tree (both stacks write disparity-
+    statistics caches next to the .pfm files on first scan; the original
+    under /root/reference is read-only and must never be written)."""
+    root = tmp_path_factory.mktemp("reference_fixtures")
+    copies = {}
+    for stack in ("ours", "reference"):
+        for name in ("flyingthings3d", "kitti"):
+            target = str(root / stack / name)
+            shutil.copytree(os.path.join(REFERENCE_DATA, name), target)
+            copies[(stack, name)] = target
+    return copies
+
+
+def _relative_image_paths(examples_files, root):
+    return [os.path.relpath(files["left"]["image"], root)
+            for files in examples_files]
+
+
+# ---------------------------------------------------------------------------
+# Discovery parity
+# ---------------------------------------------------------------------------
+
+
+def test_flyingthings3d_training_split_discovers_same_examples(
+        fixture_copies):
+    ours_root = fixture_copies[("ours", "flyingthings3d")]
+    reference_root = fixture_copies[("reference", "flyingthings3d")]
+
+    training, validation = FlyingThings3D.training_split(
+        ours_root, number_of_validation_examples=0, maximum_disparity=100)
+    reference_training, reference_validation = (
+        reference_flyingthings3d.FlyingThings3D.training_split(
+            reference_root, number_of_validation_examples=0,
+            maximum_disparity=100))
+
+    # The reference's own pinned facts: exactly 1 of the 2 TRAIN examples
+    # has all disparities below 100 px.
+    assert len(validation) == len(reference_validation) == 0
+    assert len(training) == len(reference_training) == 1
+    assert _relative_image_paths(
+        training._examples_files, ours_root) == _relative_image_paths(
+            reference_training._examples_files, reference_root)
+
+
+@pytest.mark.parametrize("is_psm_protocol,expected_size", [(True, 2),
+                                                           (False, 1)])
+def test_flyingthings3d_benchmark_protocols_discover_same_examples(
+        fixture_copies, is_psm_protocol, expected_size):
+    ours_root = fixture_copies[("ours", "flyingthings3d")]
+    reference_root = fixture_copies[("reference", "flyingthings3d")]
+    protocol_arguments = dict(
+        is_psm_protocol=is_psm_protocol, maximum_disparity=63,
+        maximum_percentage_of_large_disparities=10.0, large_disparity=80)
+
+    benchmark = FlyingThings3D.benchmark_dataset(ours_root,
+                                                 **protocol_arguments)
+    reference_benchmark = (
+        reference_flyingthings3d.FlyingThings3D.benchmark_dataset(
+            reference_root, **protocol_arguments))
+
+    assert len(benchmark) == len(reference_benchmark) == expected_size
+    assert _relative_image_paths(
+        benchmark._examples_files, ours_root) == _relative_image_paths(
+            reference_benchmark._examples_files, reference_root)
+
+
+def test_kitti_split_discovers_same_examples(fixture_copies):
+    ours_root = fixture_copies[("ours", "kitti")]
+    reference_root = fixture_copies[("reference", "kitti")]
+
+    training, validation = Kitti.training_split(
+        ours_root, number_of_validation_examples=2)
+    reference_training, reference_validation = (
+        reference_kitti.Kitti.training_split(
+            reference_root, number_of_validation_examples=2))
+
+    assert len(validation) == len(reference_validation) == 2
+    assert len(training) == len(reference_training)
+    assert _relative_image_paths(
+        validation._examples_files, ours_root) == _relative_image_paths(
+            reference_validation._examples_files, reference_root)
+
+    benchmark = Kitti.kitti2012_benchmark(ours_root)
+    reference_benchmark = reference_kitti.Kitti.kitti2012_benchmark(
+        reference_root)
+    assert len(benchmark) == len(reference_benchmark) == 2
+    assert benchmark[0]["left"].get("disparity_image") is None
+
+
+# ---------------------------------------------------------------------------
+# Decode parity
+# ---------------------------------------------------------------------------
+
+
+def _assert_example_matches_reference(example, reference_example):
+    """Ours is channels-last numpy; the reference is CHW torch."""
+    np.testing.assert_array_equal(
+        example["left"]["image"],
+        reference_example["left"]["image"].numpy().transpose(1, 2, 0))
+    np.testing.assert_array_equal(
+        example["right"]["image"],
+        reference_example["right"]["image"].numpy().transpose(1, 2, 0))
+    np.testing.assert_array_equal(
+        example["left"]["disparity_image"],
+        reference_example["left"]["disparity_image"].numpy())
+
+
+def test_flyingthings3d_decodes_identically(fixture_copies):
+    """Real Blender-rendered PFMs: endianness, scale line, vertical flip,
+    and the benchmark protocol's inf-masking, against the reference's
+    decoder on the same files."""
+    protocol_arguments = dict(
+        is_psm_protocol=True, maximum_disparity=63,
+        maximum_percentage_of_large_disparities=10.0, large_disparity=80)
+    benchmark = FlyingThings3D.benchmark_dataset(
+        fixture_copies[("ours", "flyingthings3d")], **protocol_arguments)
+    reference_benchmark = (
+        reference_flyingthings3d.FlyingThings3D.benchmark_dataset(
+            fixture_copies[("reference", "flyingthings3d")],
+            **protocol_arguments))
+
+    for index in range(len(benchmark)):
+        _assert_example_matches_reference(benchmark[index],
+                                          reference_benchmark[index])
+    # The protocol masked something to inf on this data (> 63 px exists).
+    disparity = benchmark[0]["left"]["disparity_image"]
+    assert np.isinf(disparity).any()
+    assert np.isfinite(disparity).any()
+
+
+def test_kitti_decodes_identically(fixture_copies):
+    """Real uint16/256 KITTI PNGs: the reference's 8-bit grayscale decode
+    quirk, the 2012 reflective-ground-truth merge, and zero->inf unknown
+    masking, against the reference's decoder on the same files."""
+    _, validation = Kitti.training_split(fixture_copies[("ours", "kitti")],
+                                         number_of_validation_examples=2)
+    _, reference_validation = reference_kitti.Kitti.training_split(
+        fixture_copies[("reference", "kitti")],
+        number_of_validation_examples=2)
+
+    for index in range(len(validation)):
+        _assert_example_matches_reference(validation[index],
+                                          reference_validation[index])
+    disparity = validation[0]["left"]["disparity_image"]
+    assert np.isinf(disparity).any()  # zero = unknown -> inf
+    assert np.isfinite(disparity).any()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end benchmark-protocol evaluation parity
+# ---------------------------------------------------------------------------
+
+MAXIMUM_DISPARITY = 63
+CROP_HEIGHT, CROP_WIDTH = 192, 320  # keeps the torch CPU reference tractable
+
+
+@pytest.mark.slow
+def test_benchmark_evaluation_matches_reference(fixture_copies, tmp_path):
+    """Identical weights + the reference's real fixture images through BOTH
+    full eval paths produce the same MAE / 3PE (the protocol behind the
+    published 1.04 px / 3.09 % numbers, reference ``README.md:35-42``)."""
+    torch.manual_seed(7)
+    reference_net = reference_network.PdsNetwork.default(
+        maximum_disparity=MAXIMUM_DISPARITY)
+    reference_net.eval()
+    state = {key: value.detach().numpy()
+             for key, value in reference_net.state_dict().items()}
+    params = torch_import.params_from_torch_state_dict(state)
+
+    protocol_arguments = dict(
+        is_psm_protocol=True, maximum_disparity=63,
+        maximum_percentage_of_large_disparities=10.0, large_disparity=80)
+
+    # Reference stack: benchmark dataset + central crop + torch eval loop
+    # (the crop mirrors the reference's own transformer style,
+    # ``flyingthings3d_dataset.py:348-352``).
+    reference_benchmark = (
+        reference_flyingthings3d.FlyingThings3D.benchmark_dataset(
+            fixture_copies[("reference", "flyingthings3d")],
+            **protocol_arguments))
+    reference_benchmark.append_transformers([
+        reference_transformers.CentralCrop(
+            height=CROP_HEIGHT, width=CROP_WIDTH,
+            get_items_to_crop=lambda example: [
+                example["left"]["image"],
+                example["left"]["disparity_image"],
+                example["right"]["image"],
+            ])])
+    reference_maes, reference_3pes = [], []
+    with torch.no_grad():
+        for index in range(len(reference_benchmark)):
+            example = reference_benchmark[index]
+            disparity = reference_net(
+                example["left"]["image"].unsqueeze(0),
+                example["right"]["image"].unsqueeze(0))
+            ground_truth = example["left"]["disparity_image"].unsqueeze(0)
+            _, mae = reference_errors.compute_absolute_error(disparity,
+                                                             ground_truth)
+            _, three_pe = reference_errors.compute_n_pixels_error(
+                disparity, ground_truth)
+            reference_maes.append(float(mae))
+            reference_3pes.append(float(three_pe))
+
+    # This framework's full benchmark path: dataset -> Loader -> trainer.
+    benchmark = FlyingThings3D.benchmark_dataset(
+        fixture_copies[("ours", "flyingthings3d")], **protocol_arguments)
+    benchmark.append_transformers(
+        [transforms.CentralCrop(CROP_HEIGHT, CROP_WIDTH)])
+    trainer = PDSTrainer(
+        network_config=models.PDSConfig(
+            maximum_disparity=MAXIMUM_DISPARITY),
+        params=params,
+        test_set_loader=Loader(benchmark, batch_size=1, num_workers=1),
+        experiment_folder=str(tmp_path))
+    errors, _ = trainer.test()
+
+    np.testing.assert_allclose(errors["mean_absolute_error"],
+                               np.mean(reference_maes), atol=2e-2)
+    np.testing.assert_allclose(errors["three_pixels_error"],
+                               np.mean(reference_3pes), atol=0.1)

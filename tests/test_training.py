@@ -142,6 +142,57 @@ def test_pds_trainer_end_to_end(tmp_path):
                      "example_0001_disparity_ground_truth.png"))
 
 
+def test_eval_timing_excludes_compilation(tmp_path):
+    """The reported time-per-image is steady-state: the first example's jit
+    compilation is absorbed by an untimed warm-up call (the reference's
+    number is synchronized steady-state GPU time, ``trainer.py:141-148``;
+    a cold first call through a TPU relay otherwise inflates the mean by
+    minutes)."""
+    import time as time_module
+
+    class TwoExampleLoader:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            for index in range(2):
+                rng = np.random.RandomState(index)
+                yield {
+                    "left": {
+                        "image": rng.rand(1, 16, 24, 3).astype(np.float32),
+                        "disparity_image": rng.rand(1, 16, 24).astype(
+                            np.float32),
+                    },
+                    "right": {
+                        "image": rng.rand(1, 16, 24, 3).astype(np.float32),
+                    },
+                }
+
+    config = models.PDSConfig(maximum_disparity=63)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=models.init(jax.random.PRNGKey(0), config),
+        test_set_loader=TwoExampleLoader(),
+        experiment_folder=str(tmp_path),
+        number_of_examples_to_visualize=0)
+
+    calls = {"count": 0}
+
+    def fake_eval_step(params, left, right, ground_truth):
+        calls["count"] += 1
+        if calls["count"] == 1:  # "compilation" happens on the first call
+            time_module.sleep(0.5)
+        shape = ground_truth.shape
+        return (np.zeros(shape, np.float32), np.zeros(shape, np.float32),
+                np.float32(0.0), np.float32(0.0))
+
+    trainer._eval_step = fake_eval_step
+    _, processing_time = trainer.test()
+    # 3 calls: one untimed warm-up (eats the 0.5 s) + 2 timed fast ones.
+    assert calls["count"] == 3
+    assert processing_time < 0.25
+
+
 @pytest.mark.slow
 def test_trainer_load_only_network(tmp_path):
     config = models.PDSConfig(maximum_disparity=63)

@@ -17,6 +17,30 @@ def test_overlay_image_with_binary_error():
     assert np.array_equal(overlaid[0, 0], [128, 128, 128])
 
 
+def test_plot_points_on_background_bounds_contract():
+    """Out-of-bounds points and non-color backgrounds raise (reference
+    ``visualization.py:96-117``)."""
+    import pytest
+    background = np.zeros((4, 5, 3), dtype=np.uint8)
+    painted = visualization.plot_points_on_background(
+        np.array([[0, 0], [3, 4]]), background)
+    assert np.array_equal(painted[3, 4], [0, 0, 255])
+    assert np.array_equal(background[3, 4], [0, 0, 0])  # input untouched
+    with pytest.raises(ValueError, match="boundaries"):
+        visualization.plot_points_on_background(np.array([[4, 0]]),
+                                                background)
+    with pytest.raises(ValueError, match="boundaries"):
+        visualization.plot_points_on_background(np.array([[0, -1]]),
+                                                background)
+    with pytest.raises(ValueError, match="height x width x color"):
+        visualization.plot_points_on_background(np.array([[0, 0]]),
+                                                np.zeros((4, 5)))
+    # Empty point set: a no-op, not an error (no-error overlays are common).
+    unpainted = visualization.plot_points_on_background(
+        np.zeros((0, 2), dtype=int), background)
+    assert np.array_equal(unpainted, background)
+
+
 def test_logger_appends(tmp_path):
     log_file = str(tmp_path / "log.txt")
     logger = visualization.Logger(log_file)
