@@ -126,11 +126,20 @@ class PDSTrainer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _eval_step(self, params, left, right, ground_truth):
+        """Returns (disparity [B,H,W], error_map [B,H,W], 3PE [B], MAE [B]).
+
+        Metrics are PER EXAMPLE (vmapped over the batch): each example's
+        average runs over its own valid pixels, so evaluating a batch of N
+        examples sharded over the ``data`` mesh axis yields exactly the
+        same per-example numbers as N sequential batch-1 calls — the
+        reference's per-image protocol — while occupying the whole mesh
+        (a replicated batch-1 eval idles N-1 data rows)."""
         disparity = models.infer(params, left, right, self._config,
                                  self._compute_dtype)
-        error_map, three_pixels_error = ops.n_pixels_error(
+        error_map, three_pixels_error = jax.vmap(ops.n_pixels_error)(
             disparity, ground_truth)
-        _, mean_absolute_error = ops.absolute_error(disparity, ground_truth)
+        _, mean_absolute_error = jax.vmap(ops.absolute_error)(
+            disparity, ground_truth)
         return disparity, error_map, three_pixels_error, mean_absolute_error
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -261,16 +270,18 @@ class PDSTrainer:
         processing_times = []
         if self._test_set_loader is None:
             return {}, 0.0
-        number_of_examples = len(self._test_set_loader)
-        for example_index, example in enumerate(self._test_set_loader):
-            if _is_logging_required(example_index, number_of_examples):
+        number_of_batches = len(self._test_set_loader)
+        example_offset = 0  # running position in this host's example stream
+        for batch_index, example in enumerate(self._test_set_loader):
+            if _is_logging_required(batch_index, number_of_batches):
                 self._logger.log(
                     "epoch: {0:02d} ({1:02d}) : validation: {2:05d} "
                     "({3:05d})".format(self._current_epoch + 1,
-                                       self._end_epoch, example_index + 1,
-                                       number_of_examples))
+                                       self._end_epoch, batch_index + 1,
+                                       number_of_batches))
             left, right, ground_truth = self._batch_arrays(example)
-            if example_index == 0:
+            batch_count = int(np.asarray(example["left"]["image"]).shape[0])
+            if batch_index == 0:
                 # Warm-up: the first call triggers jit compilation (tens of
                 # seconds), which must not pollute the reported per-image
                 # time — the reference's number is steady-state GPU time
@@ -288,23 +299,34 @@ class PDSTrainer:
                 # inference + submission export + visualization, no metrics.
                 disparity = jax.block_until_ready(
                     self._infer_step(self._params, left, right))
-                processing_times.append(time.time() - start_time)
-                self._export_submission(np.asarray(disparity), example_index,
+                per_image_time = (time.time() - start_time) / batch_count
+                processing_times.extend([per_image_time] * batch_count)
+                self._export_submission(np.asarray(disparity), example_offset,
                                         example.get("names"))
-                self._visualize_example(example, np.asarray(disparity),
-                                        None, example_index)
+                for index_in_batch in range(batch_count):
+                    self._visualize_example(
+                        example, np.asarray(disparity), None,
+                        example_offset + index_in_batch, index_in_batch)
+                example_offset += batch_count
                 continue
             outputs = self._eval_step(self._params, left, right, ground_truth)
             disparity = jax.block_until_ready(outputs[0])
-            processing_time = time.time() - start_time
+            per_image_time = (time.time() - start_time) / batch_count
             _, error_map, three_pixels_error, mean_absolute_error = outputs
-            errors.append({
-                "three_pixels_error": float(three_pixels_error),
-                "mean_absolute_error": float(mean_absolute_error),
-            })
-            processing_times.append(processing_time)
-            self._visualize_example(example, np.asarray(disparity),
-                                    np.asarray(error_map), example_index)
+            three_pixels_error = np.asarray(three_pixels_error)
+            mean_absolute_error = np.asarray(mean_absolute_error)
+            for index_in_batch in range(batch_count):
+                errors.append({
+                    "three_pixels_error":
+                        float(three_pixels_error[index_in_batch]),
+                    "mean_absolute_error":
+                        float(mean_absolute_error[index_in_batch]),
+                })
+                processing_times.append(per_image_time)
+                self._visualize_example(
+                    example, np.asarray(disparity), np.asarray(error_map),
+                    example_offset + index_in_batch, index_in_batch)
+            example_offset += batch_count
         return self._reduce_test_metrics(errors, processing_times)
 
     @staticmethod
@@ -337,7 +359,7 @@ class PDSTrainer:
     # Reporting & visualization (reference pds_trainer.py:76-142)
     # ------------------------------------------------------------------
 
-    def _export_submission(self, disparity: np.ndarray, example_index: int,
+    def _export_submission(self, disparity: np.ndarray, example_offset: int,
                            names: list[str] | None = None) -> None:
         """Writes KITTI-format submission PNGs (uint16, disparity*256) for
         ground-truth-less benchmark examples. Files are named after the
@@ -358,8 +380,7 @@ class PDSTrainer:
                 filename = (os.path.splitext(names[index_in_batch])[0]
                             + ".png")
             else:
-                position = (example_index * disparity.shape[0]
-                            + index_in_batch)
+                position = example_offset + index_in_batch
                 prefix = (f"host{jax.process_index()}_"
                           if jax.process_count() > 1 else "")
                 filename = f"{prefix}{position:06d}_10.png"
@@ -368,34 +389,40 @@ class PDSTrainer:
             cv2.imwrite(os.path.join(folder, filename), encoded)
 
     def _visualize_example(self, example: dict, disparity: np.ndarray,
-                           error_map: np.ndarray, example_index: int) -> None:
-        if example_index > self._number_of_examples_to_visualize:
+                           error_map: np.ndarray, example_position: int,
+                           index_in_batch: int = 0) -> None:
+        """Dumps one example's qualitative images. ``example_position`` is
+        the example's global position in this host's eval stream (the
+        reference visualizes the first four, ``pds_trainer.py:102-142``);
+        ``index_in_batch`` selects it inside a batched eval step."""
+        if example_position > self._number_of_examples_to_visualize:
             return
         if jax.process_index() != 0:
             return
         ground_truth = example["left"].get("disparity_image")
-        left_image = example["left"]["image"][0]
+        left_image = example["left"]["image"][index_in_batch]
         visualization.save_image(
-            self._left_image_template.format(example_index + 1), left_image)
+            self._left_image_template.format(example_position + 1),
+            left_image)
         if ground_truth is None:
             return
-        ground_truth = ground_truth[0]
+        ground_truth = ground_truth[index_in_batch]
         finite = ~np.isinf(ground_truth)
         minimum_disparity = float(ground_truth.min())
         maximum_disparity = float(ground_truth[finite].max())
         visualization.save_matrix(
             self._ground_truth_disparity_image_template.format(
-                example_index + 1),
+                example_position + 1),
             ground_truth, minimum_disparity, maximum_disparity)
         visualization.save_matrix(
             self._estimated_disparity_image_template.format(
-                example_index + 1, self._current_epoch + 1),
-            disparity[0], minimum_disparity, maximum_disparity)
+                example_position + 1, self._current_epoch + 1),
+            disparity[index_in_batch], minimum_disparity, maximum_disparity)
         overlay = visualization.overlay_image_with_binary_error(
-            left_image, error_map[0])
+            left_image, error_map[index_in_batch])
         visualization.save_image(
             self._3_pixels_error_image_template.format(
-                example_index + 1, self._current_epoch + 1), overlay)
+                example_position + 1, self._current_epoch + 1), overlay)
 
     def _report_training_progress(self):
         last_errors = self._test_errors[-1] if self._test_errors else {}

@@ -40,6 +40,16 @@ def parse_arguments():
     parser.add_argument("--maximum_disparity", type=int, default=191)
     parser.add_argument("--bfloat16", action="store_true")
     parser.add_argument("--num_workers", type=int, default=3)
+    parser.add_argument("--eval_batch_size", type=int, default=1,
+                        help="examples per eval step; with --mesh_data N "
+                        "a batch of N shards one example per data row "
+                        "(per-example metrics are identical to the "
+                        "sequential batch-1 protocol)")
+    parser.add_argument("--mesh_data", type=int, default=None,
+                        help="data-parallel mesh axis size (eval examples "
+                        "shard across it)")
+    parser.add_argument("--mesh_volume", type=int, default=1,
+                        help="cost-volume W-sharding mesh axis size")
     return parser.parse_args()
 
 
@@ -52,13 +62,19 @@ def main():
     config = models.PDSConfig(maximum_disparity=args.maximum_disparity)
     params = models.init(jax.random.PRNGKey(0), config)
 
+    mesh = None
+    if args.mesh_data or args.mesh_volume > 1:
+        from practicaldeepstereo_nips2018_tpu.parallel import make_mesh
+        mesh = make_mesh(data=args.mesh_data, volume=args.mesh_volume)
+
     trainer = PDSTrainer(
         network_config=config,
         params=params,
-        test_set_loader=Loader(test_set, batch_size=1,
+        test_set_loader=Loader(test_set, batch_size=args.eval_batch_size,
                                num_workers=args.num_workers),
         experiment_folder=os.path.abspath(args.experiment_folder),
-        compute_dtype=jnp.bfloat16 if args.bfloat16 else None)
+        compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
+        mesh=mesh)
     trainer.load_checkpoint(os.path.abspath(args.checkpoint_file),
                             load_only_network=True)
     errors, processing_time = trainer.test()

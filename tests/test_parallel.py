@@ -158,6 +158,81 @@ def test_trainer_eval_with_batch_one_under_mesh(tmp_path):
     assert len(trainer.training_losses) == 1
 
 
+@pytest.mark.slow
+def test_batched_sharded_eval_matches_sequential(tmp_path):
+    """Benchmark eval with examples sharded over the ``data`` axis (batch N
+    on a data=N mesh) must reproduce the sequential batch-1 protocol's
+    metrics. The discriminating failure mode is pooled-pixel averaging: the
+    examples here have very different valid-pixel fractions and error
+    magnitudes, so a metric averaged over the batch's pooled pixels (instead
+    of per example, as the reference's per-image loop does) is off by
+    whole pixels."""
+    import os
+
+    from practicaldeepstereo_nips2018_tpu.data.loader import _stack_examples
+    from practicaldeepstereo_nips2018_tpu.training import PDSTrainer
+
+    rng = np.random.RandomState(7)
+    examples = []
+    valid_fractions = (1.0, 0.6, 0.25, 0.1)
+    for index in range(4):
+        ground_truth = (rng.rand(128, 512) * 40.0 * (index + 1)).astype(
+            np.float32)
+        mask = rng.rand(128, 512) > valid_fractions[index]
+        ground_truth[mask] = np.inf
+        examples.append({
+            "left": {
+                "image": rng.rand(128, 512, 3).astype(np.float32) * 255.0,
+                "disparity_image": ground_truth,
+            },
+            "right": {
+                "image": rng.rand(128, 512, 3).astype(np.float32) * 255.0,
+            },
+        })
+
+    class ListLoader:
+        def __init__(self, batch_size):
+            self._batch_size = batch_size
+
+        def __len__(self):
+            return -(-len(examples) // self._batch_size)
+
+        def __iter__(self):
+            for start in range(0, len(examples), self._batch_size):
+                yield _stack_examples(examples[start:start
+                                               + self._batch_size])
+
+    config = models.PDSConfig(maximum_disparity=63)
+    params = models.init(jax.random.PRNGKey(0), config)
+
+    def evaluate(loader, mesh, folder):
+        os.makedirs(folder)
+        trainer = PDSTrainer(network_config=config, params=params,
+                             test_set_loader=loader, mesh=mesh,
+                             experiment_folder=folder)
+        return trainer.test()[0]
+
+    sequential = evaluate(ListLoader(1), None, str(tmp_path / "sequential"))
+    sharded_folder = str(tmp_path / "sharded")
+    sharded = evaluate(ListLoader(2), make_mesh(data=2, volume=2),
+                       sharded_folder)
+
+    # Tolerances cover compilation-variant argmax flips on the random-init
+    # network (<0.1% of pixels, test_sharded_infer_matches_unsharded); a
+    # pooled-pixel averaging bug shifts MAE by several pixels here.
+    assert abs(sharded["mean_absolute_error"]
+               - sequential["mean_absolute_error"]) < 0.05, (sharded,
+                                                             sequential)
+    assert abs(sharded["three_pixels_error"]
+               - sequential["three_pixels_error"]) < 0.5, (sharded,
+                                                           sequential)
+    # The batched path must still visualize per EXAMPLE, not per batch.
+    for position in (1, 2, 3, 4):
+        assert os.path.exists(os.path.join(
+            sharded_folder,
+            f"example_{position:04d}_disparity_epoch_001.png"))
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

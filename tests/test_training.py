@@ -184,7 +184,8 @@ def test_eval_timing_excludes_compilation(tmp_path):
             time_module.sleep(0.5)
         shape = ground_truth.shape
         return (np.zeros(shape, np.float32), np.zeros(shape, np.float32),
-                np.float32(0.0), np.float32(0.0))
+                np.zeros(shape[:1], np.float32),
+                np.zeros(shape[:1], np.float32))
 
     trainer._eval_step = fake_eval_step
     _, processing_time = trainer.test()
