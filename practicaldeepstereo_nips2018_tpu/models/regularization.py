@@ -178,6 +178,19 @@ def apply_folded(params: dict,
     ([B, H/4, W/4, D*C], lane order (disparity, channel)) — the layout the
     paired matching stage (``models/matching.py::apply_folded``) produces
     natively, so no [B, D, H, W, C] intermediate ever exists."""
+    output, depth = hourglass_core(params, folded_signatures, depth,
+                                   shortcut_from_left_image, remat=remat)
+    return final_upsampling(params, output, depth, remat=remat)
+
+
+def hourglass_core(params: dict,
+                   folded_signatures: jnp.ndarray,
+                   depth: int,
+                   shortcut_from_left_image: jnp.ndarray,
+                   remat: bool = False):
+    """Smoothing + 4 contractions + 4 expansions at quarter resolution;
+    returns (folded output, depth). Split from :func:`final_upsampling` so
+    profiling can attribute time between the core and the two upsamplers."""
     maybe_remat = jax.checkpoint if remat else (lambda fn: fn)
 
     output = folded_signatures
@@ -222,12 +235,21 @@ def apply_folded(params: dict,
         output = maybe_remat(expansion_folded)(block_params, output, skip)
         depth = skip_depth
 
-    def final_upsampling(p_half, p_full, x, level_depth=depth):
+    return output, depth
+
+
+def final_upsampling(params: dict, output: jnp.ndarray, depth: int,
+                     remat: bool = False) -> jnp.ndarray:
+    """The two upsampling stages: transposed 4x4x4 block to half size, then
+    the raw anisotropic (3,4,4)/(1,2,2) transpose to full resolution."""
+    maybe_remat = jax.checkpoint if remat else (lambda fn: fn)
+
+    def upsample(p_half, p_full, x, level_depth=depth):
         folded, half_depth = folded3d.conv_transpose_block3d_folded(
             p_half, x, level_depth)
         return folded3d.anisotropic_fullsize_transpose(p_full, folded,
                                                        half_depth)
 
-    return maybe_remat(final_upsampling)(
+    return maybe_remat(upsample)(
         params["upsample_to_halfsize"], params["upsample_to_fullsize"],
         output)

@@ -96,23 +96,37 @@ def main():
         precompute(left_p, right_p))
 
     t_emb = slope(looped(emb), left_p)
-    print(f"embedding (one image): {t_emb*1e3:8.3f} ms")
+    print(f"embedding (one image): {t_emb*1e3:8.3f} ms", flush=True)
     t_match = slope(
         looped(lambda dl: matching.apply_folded(
             match_params, dl, desc_r, config.matching_maximum_disparity)),
         desc_l)
-    print(f"matching (folded):     {t_match*1e3:8.3f} ms")
+    print(f"matching (folded):     {t_match*1e3:8.3f} ms", flush=True)
     t_reg = slope(
         looped(lambda v: regularization.apply_folded(reg_params, v, depth,
                                                      shortcut)),
         folded)
-    print(f"regularization:        {t_reg*1e3:8.3f} ms")
-    t_est = slope(
-        looped(lambda s: ops.subpixel_map(s.astype(jnp.float32))),
-        similarities)
-    print(f"estimator:             {t_est*1e3:8.3f} ms")
+    print(f"regularization:        {t_reg*1e3:8.3f} ms", flush=True)
+    core = jax.jit(
+        lambda v: regularization.hourglass_core(reg_params, v, depth,
+                                                shortcut)[0])(folded)
+    core_depth = depth  # 4 ceil-halvings then 4 doublings restore D'=48
+    t_core = slope(
+        looped(lambda v: regularization.hourglass_core(
+            reg_params, v, depth, shortcut)[0]),
+        folded)
+    print(f"  hourglass core:      {t_core*1e3:8.3f} ms", flush=True)
+    t_upsample = slope(
+        looped(lambda v: regularization.final_upsampling(
+            reg_params, v, core_depth)),
+        core)
+    print(f"  upsamplers:          {t_upsample*1e3:8.3f} ms", flush=True)
+    # No f32 pre-cast: ``models.infer`` feeds the estimator the bf16
+    # similarities directly (subpixel.py upconverts in-pass).
+    t_est = slope(looped(lambda s: ops.subpixel_map(s)), similarities)
+    print(f"estimator:             {t_est*1e3:8.3f} ms", flush=True)
     total = 2 * t_emb + t_match + t_reg + t_est
-    print(f"sum (2x emb):          {total*1e3:8.3f} ms")
+    print(f"sum (2x emb):          {total*1e3:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
