@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from practicaldeepstereo_nips2018_tpu.models import blocks
 
@@ -58,9 +59,62 @@ def apply(params: dict, image: jnp.ndarray):
             ``embedding.py:33``).
     """
     x = blocks.instance_norm(image)
+    x = _tower(params, x)
+    return x, blocks.conv_block(params["shortcut"], x)
+
+
+def _tower(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     x = blocks.conv_block(params["conv1"], x, stride=2)
     x = blocks.conv_block(params["conv2"], x, stride=2)
     residual_count = sum(1 for name in params if name.startswith("residual"))
     for i in range(residual_count):
         x = blocks.residual_block(params[f"residual{i + 1}"], x)
-    return x, blocks.conv_block(params["shortcut"], x)
+    return x
+
+
+def _normalize_padded(image: jnp.ndarray, pad_height: int,
+                      pad_width: int) -> jnp.ndarray:
+    """Input instance norm of the top/left zero-PADDED image, fused.
+
+    Semantics are the reference's order — SizeAdapter.pad THEN
+    InstanceNorm(3) (``network.py:45-48``, ``embedding.py:33``): the moments
+    include the pad zeros, and pad pixels normalize to ``-mean/std``, not 0.
+    Executed TPU-efficiently: a [.., 3]-channel image tensor is physically
+    padded to 128 lanes (42x), so every elementwise pass over it costs ~50x
+    its logical bytes — this formulation reads the UNPADDED image once for
+    the moments (adjusting for the zero pixels in closed form: they add
+    count but no sum) and materializes the padded+normalized result in ONE
+    fused pad+affine pass, instead of pad, cast, and multi-pass norm each
+    touching the padded tensor.
+    """
+    statistics_dtype = jnp.promote_types(image.dtype, jnp.float32)
+    x = image.astype(statistics_dtype)
+    height, width = image.shape[1], image.shape[2]
+    padded_count = (height + pad_height) * (width + pad_width)
+    total = jnp.sum(x, axis=(1, 2), keepdims=True)
+    total_squares = jnp.sum(jnp.square(x), axis=(1, 2), keepdims=True)
+    mean = total / padded_count
+    variance = total_squares / padded_count - jnp.square(mean)
+    inverse = lax.rsqrt(variance + blocks.INSTANCE_NORM_EPS)
+    padded = jnp.pad(image, ((0, 0), (pad_height, 0), (pad_width, 0),
+                             (0, 0)))
+    return (padded * inverse - mean * inverse).astype(image.dtype)
+
+
+def apply_pair(params: dict, left: jnp.ndarray, right: jnp.ndarray,
+               pad_height: int = 0, pad_width: int = 0):
+    """Shared-weight tower on both images as ONE batched call, with the
+    input padding + instance norm fused (:func:`_normalize_padded`).
+
+    Returns (left_descriptor, right_descriptor, left_shortcut) at the
+    padded quarter resolution. Equivalent to ``apply(pad(left))`` /
+    ``apply(pad(right))`` with the right image's unused shortcut head
+    skipped (reference computes and discards it, ``network.py:39-40``).
+    """
+    batch = left.shape[0]
+    both = jnp.concatenate([left, right], axis=0)
+    x = _normalize_padded(both, pad_height, pad_width)
+    x = _tower(params, x)
+    left_descriptor = x[:batch]
+    shortcut = blocks.conv_block(params["shortcut"], left_descriptor)
+    return left_descriptor, x[batch:], shortcut

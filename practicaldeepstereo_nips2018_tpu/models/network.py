@@ -156,15 +156,21 @@ def apply_padded(params: dict,
     resolution. The estimator is pixel-wise over the disparity axis, so
     inference applies it before cropping (exactly the reference's order,
     ``network.py:45-52``) and saves a full-resolution copy."""
-    left = pad_ops.pad_to_multiple(left_image, config.minimum_size)
-    right = pad_ops.pad_to_multiple(right_image, config.minimum_size)
+    # Cast FIRST (halves all image traffic — zeros pad exactly in any
+    # dtype), then run both images through ONE batched tower call with the
+    # pad + input instance norm fused (see ``embedding._normalize_padded``:
+    # a C=3 image is physically 128-lane padded, so every separate pass
+    # over it costs ~42x its logical bytes).
+    left = left_image
+    right = right_image
     if compute_dtype is not None:
         left = left.astype(compute_dtype)
         right = right.astype(compute_dtype)
-
-    left_descriptor, shortcut_from_left = embedding.apply(
-        params["embedding"], left)
-    right_descriptor, _ = embedding.apply(params["embedding"], right)
+    pad_height, pad_width = pad_ops.pad_amounts(
+        left.shape[1], left.shape[2], config.minimum_size)
+    left_descriptor, right_descriptor, shortcut_from_left = (
+        embedding.apply_pair(params["embedding"], left, right, pad_height,
+                             pad_width))
     # The matching -> regularization handoff stays in depth-FOLDED layout
     # end to end (lane order (disparity, channel)); the unfolded
     # [B, D, H, W, 8] tensor would tile 16x lane-padded (~400 MB at the

@@ -29,6 +29,33 @@ def test_embedding_output_size():
     assert shortcut.shape == (2, 25, 25, 8)
 
 
+def test_embedding_apply_pair_matches_separate_padded_calls():
+    """The fused batched front-end (cast-first, pad+instance-norm in one
+    pass, both images in one tower call) must equal the plain path:
+    ``apply(pad(image))`` per image — the reference's order SizeAdapter.pad
+    THEN InstanceNorm, whose moments include the pad zeros."""
+    from practicaldeepstereo_nips2018_tpu.ops import pad as pad_ops
+
+    params = embedding.init(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1))
+    left = jax.random.uniform(keys[0], (2, 52, 100, 3)) * 255
+    right = jax.random.uniform(keys[1], (2, 52, 100, 3)) * 255
+
+    pad_h, pad_w = pad_ops.pad_amounts(52, 100, 64)  # (12, 28)
+    left_ref, shortcut_ref = embedding.apply(
+        params, pad_ops.pad_to_multiple(left, 64))
+    right_ref, _ = embedding.apply(params, pad_ops.pad_to_multiple(right, 64))
+
+    left_desc, right_desc, shortcut = embedding.apply_pair(
+        params, left, right, pad_h, pad_w)
+    np.testing.assert_allclose(np.asarray(left_desc), np.asarray(left_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(right_desc), np.asarray(right_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(shortcut), np.asarray(shortcut_ref),
+                               atol=2e-4)
+
+
 def test_contraction_block_output_size():
     params = regularization.init(jax.random.PRNGKey(0),
                                  number_of_features=6)["contraction1"]
