@@ -20,6 +20,27 @@ TPU-native formulation, in two moves:
 
 Output layout: [B, D+1, H/4, W/4, 8] (channels last; the reference's is
 [B, 8, D+1, H/4, W/4]).
+
+Why the paired 2x structural-MAC overhead is kept (round-3 kernel study,
+measured tail MFU 77% of bf16 peak on executed MACs):
+
+* The tail's convs are cin=64 -> cout=64. Any direct matmul form has
+  N = cout = 64, i.e. half the MXU's 128 output lanes — exactly the 2x the
+  block-diagonal pairing pays, but pairing keeps every tile full and lets
+  XLA fuse. Measured in round 2: pairing beat the lane-padded N=64 form.
+* The transposed form (out^T = W^T @ in^T, M=64 free, N=pixel lanes) fixes
+  N but caps K at cin=64 per spatial tap (50% again); raising K needs
+  either im2col copies (~9x the activation bytes through VMEM per conv —
+  ~6 ms of VPU traffic at the benchmark shape, more than it saves) or an
+  [H, C, W] layout whose 3-row window gives K=192 for free — but then each
+  MXU dot is [64, 192]x[192, 256] (~6 MFLOP), and the ~93k-dot issue
+  overhead dominates. Widening N with the disparity axis ([H, C, D*W]
+  layout) makes the dots big enough but the volume (226 MB) cannot be
+  VMEM-resident, and per-layer HBM streaming plus two-phase instance norms
+  lands within noise of the current 6.5 ms.
+* Conclusion: ~6.5 ms at 77% executed-MFU is this tail's practical floor
+  on v5e without changing numerics (e.g. int8). The useful-MAC floor
+  (3.3 ms) is unreachable by re-tiling alone.
 """
 
 from __future__ import annotations

@@ -62,6 +62,10 @@ class PDSConfig:
     # (SURVEY §7 hard part #1); remat trades ~1 extra forward of those
     # stages for O(stage inputs) memory.
     remat: bool = False
+    # Execution of the folded hourglass convs: "dense" | "banded_slab" |
+    # "banded_pallas" (exact alternatives, see ``ops/folded_banded.py``;
+    # the Pallas form is forward-only — training keeps dense/slab).
+    folded_conv_impl: str = "dense"
 
     def __post_init__(self):
         validate_maximum_disparity(self.maximum_disparity)
@@ -185,7 +189,7 @@ def apply_padded(params: dict,
     return regularization.apply_folded(
         params["regularization"], folded_signatures,
         config.matching_maximum_disparity + 1, shortcut_from_left,
-        remat=config.remat)
+        remat=config.remat, impl=config.folded_conv_impl)
 
 
 def infer(params: dict,

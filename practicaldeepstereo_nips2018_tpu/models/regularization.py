@@ -150,7 +150,8 @@ def apply_ndhwc(params: dict,
 def apply(params: dict,
           matching_signatures: jnp.ndarray,
           shortcut_from_left_image: jnp.ndarray,
-          remat: bool = False) -> jnp.ndarray:
+          remat: bool = False,
+          impl: str = "dense") -> jnp.ndarray:
     """Returns regularized similarities for even disparities.
 
     Args:
@@ -166,28 +167,31 @@ def apply(params: dict,
     """
     return apply_folded(params, folded3d.fold(matching_signatures),
                         matching_signatures.shape[1],
-                        shortcut_from_left_image, remat=remat)
+                        shortcut_from_left_image, remat=remat, impl=impl)
 
 
 def apply_folded(params: dict,
                  folded_signatures: jnp.ndarray,
                  depth: int,
                  shortcut_from_left_image: jnp.ndarray,
-                 remat: bool = False) -> jnp.ndarray:
+                 remat: bool = False,
+                 impl: str = "dense") -> jnp.ndarray:
     """:func:`apply` taking the cost volume already in folded layout
     ([B, H/4, W/4, D*C], lane order (disparity, channel)) — the layout the
     paired matching stage (``models/matching.py::apply_folded``) produces
     natively, so no [B, D, H, W, C] intermediate ever exists."""
     output, depth = hourglass_core(params, folded_signatures, depth,
-                                   shortcut_from_left_image, remat=remat)
-    return final_upsampling(params, output, depth, remat=remat)
+                                   shortcut_from_left_image, remat=remat,
+                                   impl=impl)
+    return final_upsampling(params, output, depth, remat=remat, impl=impl)
 
 
 def hourglass_core(params: dict,
                    folded_signatures: jnp.ndarray,
                    depth: int,
                    shortcut_from_left_image: jnp.ndarray,
-                   remat: bool = False):
+                   remat: bool = False,
+                   impl: str = "dense"):
     """Smoothing + 4 contractions + 4 expansions at quarter resolution;
     returns (folded output, depth). Split from :func:`final_upsampling` so
     profiling can attribute time between the core and the two upsamplers."""
@@ -197,7 +201,7 @@ def hourglass_core(params: dict,
     shortcut = folded3d.broadcast_shortcut(shortcut_from_left_image, depth)
 
     def smoothing_folded(p, x, level_depth=depth):
-        return folded3d.conv_block3d_folded(p, x, level_depth)[0]
+        return folded3d.conv_block3d_folded(p, x, level_depth, impl=impl)[0]
 
     output = maybe_remat(smoothing_folded)(params["smoothing"], output)
     # depth unchanged: 3x3x3 stride 1.
@@ -210,9 +214,9 @@ def hourglass_core(params: dict,
 
         def contraction_folded(p, summed, level_depth=level_depth):
             down, down_depth = folded3d.conv_block3d_folded(
-                p["down"], summed, level_depth, stride=2)
+                p["down"], summed, level_depth, stride=2, impl=impl)
             smoothed, _ = folded3d.conv_block3d_folded(
-                p["smooth"], down, down_depth)
+                p["smooth"], down, down_depth, impl=impl)
             return down, smoothed
 
         shortcut, output = maybe_remat(contraction_folded)(
@@ -227,9 +231,9 @@ def hourglass_core(params: dict,
         def expansion_folded(p, x, skip, level_depth=level_depth,
                              skip_depth=skip_depth):
             up, up_depth = folded3d.conv_transpose_block3d_folded(
-                p["up"], x, level_depth)
+                p["up"], x, level_depth, impl=impl)
             smoothed, _ = folded3d.conv_block3d_folded(
-                p["smooth"], up + skip, up_depth)
+                p["smooth"], up + skip, up_depth, impl=impl)
             return smoothed
 
         output = maybe_remat(expansion_folded)(block_params, output, skip)
@@ -239,14 +243,18 @@ def hourglass_core(params: dict,
 
 
 def final_upsampling(params: dict, output: jnp.ndarray, depth: int,
-                     remat: bool = False) -> jnp.ndarray:
+                     remat: bool = False,
+                     impl: str = "dense") -> jnp.ndarray:
     """The two upsampling stages: transposed 4x4x4 block to half size, then
     the raw anisotropic (3,4,4)/(1,2,2) transpose to full resolution."""
     maybe_remat = jax.checkpoint if remat else (lambda fn: fn)
 
     def upsample(p_half, p_full, x, level_depth=depth):
+        # The anisotropic fullsize stage stays dense in every impl: its
+        # cout=1 output group spans all depths, so no slab shrinks its
+        # contraction (``folded3d.py:29-50``).
         folded, half_depth = folded3d.conv_transpose_block3d_folded(
-            p_half, x, level_depth)
+            p_half, x, level_depth, impl=impl)
         return folded3d.anisotropic_fullsize_transpose(p_full, folded,
                                                        half_depth)
 

@@ -171,18 +171,43 @@ def instance_norm_folded(folded: jnp.ndarray, depth: int,
 
 
 def conv_block3d_folded(params: dict, folded: jnp.ndarray, depth_in: int,
-                        stride: int = 1) -> tuple[jnp.ndarray, int]:
-    """Conv -> LeakyReLU(0.1) -> affine InstanceNorm, folded."""
-    out, depth_out = conv3d_folded(params["conv"], folded, depth_in, stride)
+                        stride: int = 1,
+                        impl: str = "dense") -> tuple[jnp.ndarray, int]:
+    """Conv -> LeakyReLU(0.1) -> affine InstanceNorm, folded.
+
+    ``impl`` selects the conv execution: ``"dense"`` (full banded channel
+    matrix), ``"banded_slab"`` (per-128-lane-group slab convs, ~1/3 fewer
+    K-tiles) or ``"banded_pallas"`` (fused slab kernel) — all exact, see
+    ``ops/folded_banded.py``.
+    """
+    depth_out = (depth_in + 2 - params["conv"]["w"].shape[0]) // stride + 1
+    if impl == "dense":
+        out, _ = conv3d_folded(params["conv"], folded, depth_in, stride)
+    else:
+        from practicaldeepstereo_nips2018_tpu.ops import folded_banded
+        if impl == "banded_pallas":
+            out = folded_banded.conv3d_folded_pallas(params["conv"], folded,
+                                                     depth_in, stride)
+        else:
+            out = folded_banded.conv3d_folded_slab(params["conv"], folded,
+                                                   depth_in, stride)
     return instance_norm_folded(blocks.leaky_relu(out), depth_out,
                                 params["norm"]), depth_out
 
 
 def conv_transpose_block3d_folded(params: dict, folded: jnp.ndarray,
-                                  depth_in: int) -> tuple[jnp.ndarray, int]:
+                                  depth_in: int,
+                                  impl: str = "dense"
+                                  ) -> tuple[jnp.ndarray, int]:
     """TransposedConv(4, stride 2, pad 1) -> LeakyReLU -> InstanceNorm."""
-    out, depth_out = conv_transpose3d_folded(params["conv"], folded,
-                                             depth_in)
+    if impl == "dense":
+        out, depth_out = conv_transpose3d_folded(params["conv"], folded,
+                                                 depth_in)
+    else:
+        from practicaldeepstereo_nips2018_tpu.ops import folded_banded
+        depth_out = (depth_in - 1) * 2 - 2 + params["conv"]["w"].shape[0]
+        out = folded_banded.conv_transpose3d_folded_slab(params["conv"],
+                                                         folded, depth_in)
     return instance_norm_folded(blocks.leaky_relu(out), depth_out,
                                 params["norm"]), depth_out
 

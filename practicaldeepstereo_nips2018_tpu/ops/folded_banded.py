@@ -102,6 +102,69 @@ def conv3d_folded_slab(params: dict, folded: jnp.ndarray, depth_in: int,
     return out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
 
 
+def conv_transpose3d_folded_slab(params: dict, folded: jnp.ndarray,
+                                 depth_in: int, kernel_size: int = 4,
+                                 stride: int = 2,
+                                 padding: int = 1) -> jnp.ndarray:
+    """Banded TRANSPOSED folded conv (4x4x4 stride-2 upsamplers) as
+    per-group convs on lane slices.
+
+    Same contract as ``folded3d.conv_transpose3d_folded`` minus the returned
+    depth. The output-group slab relation: output depth ``o`` gathers input
+    depths ``i`` with ``0 <= stride*i - o + (kd-1-pad) < kd``; for the
+    network's 128-lane groups the slab start ``(i_min + 1) * cin`` is always
+    ``128 * g`` (front pad of ``cin`` zeros) and the local band
+    ``j = stride*i_local - o_local`` is group-independent — the same
+    alignment trick as the forward form.
+    """
+    weight = params["w"]
+    kd = weight.shape[0]
+    cin, cout = weight.shape[3], weight.shape[4]
+    depth_out = (depth_in - 1) * stride - 2 * padding + kd
+    group_depths = max(1, 128 // cout)
+    n_groups = -(-depth_out // group_depths)
+    # Input depths for outputs [o0, o0 + G): i in
+    # [ceil((o0 - (kd-1-pad)) / stride), floor((o0+G-1 + pad) / stride)].
+    shift = kd - 1 - padding
+
+    def i_min(o0):
+        return -(-(o0 - shift) // stride)
+
+    def i_max(o0):
+        return (o0 + group_depths - 1 + padding) // stride
+
+    slab_depths = i_max(0) - i_min(0) + 1
+    front = -i_min(0)  # zero depths prepended so slabs start in range
+    total_depths = i_max((n_groups - 1) * group_depths) + 1 + front
+    tail = total_depths - front - depth_in
+    padded = jnp.pad(folded, ((0, 0), (0, 0), (0, 0),
+                              (front * cin, max(0, tail) * cin)))
+
+    spatial_pad = kernel_size - 1 - padding
+    outputs = []
+    for g in range(n_groups):
+        o0 = g * group_depths
+        o1 = min(depth_out, o0 + group_depths)
+        lane0 = (i_min(o0) + front) * cin
+        slab = lax.slice_in_dim(padded, lane0, lane0 + slab_depths * cin,
+                                axis=3)
+        # Local band: j = stride*i_local - o_local + (stride*i_min(o0) - o0
+        # + shift); the alignment choice makes the parenthesis 0 for every
+        # group, i.e. local depth_pad' = kd - 1.
+        local_shift = stride * i_min(o0) - o0 + shift
+        kernel = folded3d.banded_kernel(weight, slab_depths, o1 - o0, stride,
+                                        kd - 1 - local_shift,
+                                        transposed=True)
+        out = lax.conv_general_dilated(
+            slab, kernel.astype(folded.dtype), window_strides=(1, 1),
+            padding=[(spatial_pad, spatial_pad)] * 2,
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        outputs.append(out)
+    out = jnp.concatenate(outputs, axis=-1)
+    return out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel (stride 1)
 # ---------------------------------------------------------------------------
@@ -153,11 +216,14 @@ def conv3d_folded_pallas(params: dict, folded: jnp.ndarray, depth_in: int,
         return conv3d_folded_slab(params, folded, depth_in, stride)
 
     batch, height, width, _ = folded.shape
-    # Spatial halo pad (1 px) + lane layout: front pad*cin zeros, tail to
-    # 128*(n_groups-1) + 256 so every group reads a full 256-lane window.
+    # Spatial halo pad (1 px; W padded further so the DMA'd slice width is a
+    # sublane-tile multiple of 8 — Mosaic requires it) + lane layout: front
+    # pad*cin zeros, tail to 128*(n_groups-1) + 256 so every group reads a
+    # full 256-lane window.
     total_lanes = 128 * (n_groups - 1) + 256
+    padded_width = -(-(width + 2) // 8) * 8
     padded = jnp.pad(
-        folded, ((0, 0), (1, 1), (1, 1),
+        folded, ((0, 0), (1, 1), (1, padded_width - width - 1),
                  (pad * cin, total_lanes - pad * cin - depth_in * cin)))
 
     # Group-independent slab weights: [9, 256, 128] with local band
@@ -194,7 +260,7 @@ def conv3d_folded_pallas(params: dict, folded: jnp.ndarray, depth_in: int,
         out_shape=jax.ShapeDtypeStruct(
             (height, width, n_groups * 128), folded.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows, width + 2, 256), folded.dtype),
+            pltpu.VMEM((rows, padded_width, 256), folded.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -41,7 +41,10 @@ from practicaldeepstereo_nips2018_tpu.models import blocks  # noqa: E402
 from practicaldeepstereo_nips2018_tpu.ops import folded3d  # noqa: E402
 from practicaldeepstereo_nips2018_tpu.ops import folded_banded  # noqa: E402
 
-SHORT, LONG, REPEATS = 2, 10, 3
+# Sub-ms programs: long device loops + extra repeats, or relay jitter
+# swamps the slope (a 0.2 ms program over 8 iterations is ~1.6 ms of device
+# time against ~50 ms of transport).
+SHORT, LONG, REPEATS = 10, 60, 5
 DTYPE = jnp.bfloat16
 
 # The folded conv shapes that dominate the benchmark forward (576x960 padded,
@@ -81,6 +84,48 @@ def slope(fn, params, x):
     for _ in range(REPEATS):
         samples.append((timed(LONG) - timed(SHORT)) / (LONG - SHORT))
     return statistics.median(samples)
+
+
+# Transposed folded convs (kernel 4, stride 2): (name, H, W, depth, cin,
+# cout). halfsize executes 81.5 GMac dense — the largest single folded conv.
+TRANSPOSED_SHAPES = [
+    ("upsample_to_halfsize", 288, 480, 48, 8, 4),
+    ("expansion4_up", 144, 240, 24, 16, 8),
+]
+
+
+def bench_transposed():
+    for name, height, width, depth, cin, cout in TRANSPOSED_SHAPES:
+        params = blocks.init_conv(jax.random.PRNGKey(0), 4, cin, cout,
+                                  spatial_dims=3)
+        params = jax.tree.map(lambda p: p.astype(DTYPE), params)
+        folded = jax.random.uniform(
+            jax.random.PRNGKey(1), (1, height, width, depth * cin), DTYPE)
+        dense = slope(
+            lambda p, x: folded3d.conv_transpose3d_folded(p, x, depth)[0],
+            params, folded)
+        out_dense = jax.jit(
+            lambda p, x: folded3d.conv_transpose3d_folded(p, x, depth)[0])(
+                params, folded)
+        results = {"dense": dense}
+        try:
+            out = jax.jit(functools.partial(
+                folded_banded.conv_transpose3d_folded_slab,
+                depth_in=depth))(params, folded)
+            error = float(jnp.max(jnp.abs(
+                out.astype(jnp.float32) - out_dense.astype(jnp.float32))))
+            if error > 0.1:
+                results["xla-slab"] = f"WRONG (max err {error:.3f})"
+            else:
+                results["xla-slab"] = slope(
+                    lambda p, x: folded_banded.conv_transpose3d_folded_slab(
+                        p, x, depth_in=depth),
+                    params, folded)
+        except Exception as exc:  # noqa: BLE001
+            results["xla-slab"] = f"FAILED ({type(exc).__name__}: {exc})"
+        print(f"{name}: " + ", ".join(
+            f"{k}={v * 1e3:.3f} ms" if isinstance(v, float) else f"{k}={v}"
+            for k, v in results.items()), flush=True)
 
 
 def main():
@@ -124,6 +169,7 @@ def main():
         print(f"{name}: " + ", ".join(
             f"{k}={v * 1e3:.3f} ms" if isinstance(v, float) else f"{k}={v}"
             for k, v in results.items()), flush=True)
+    bench_transposed()
 
 
 if __name__ == "__main__":

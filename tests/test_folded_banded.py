@@ -43,6 +43,43 @@ def test_slab_matches_dense(depth, cin, cout, stride):
 
 
 @pytest.mark.parametrize("depth,cin,cout", [
+    (48, 8, 4),     # upsample_to_halfsize (D 48 -> 96)
+    (24, 16, 8),    # expansion4 up
+    (12, 32, 16),   # expansion3 up
+    (3, 128, 64),   # expansion1 up (partial group: 2 depths < 6)
+])
+def test_transpose_slab_matches_dense(depth, cin, cout):
+    params = blocks.init_conv(jax.random.PRNGKey(2), 4, cin, cout,
+                              spatial_dims=3)
+    folded = jax.random.uniform(jax.random.PRNGKey(3),
+                                (2, 6, 10, depth * cin))
+    dense, _ = folded3d.conv_transpose3d_folded(params, folded, depth)
+    slab = folded_banded.conv_transpose3d_folded_slab(params, folded, depth)
+    assert slab.shape == dense.shape
+    np.testing.assert_allclose(np.asarray(slab), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_network_banded_impl_matches_dense():
+    """Full forward with config.folded_conv_impl='banded_slab' equals the
+    dense execution (same math, different conv tiling)."""
+    from practicaldeepstereo_nips2018_tpu import models
+
+    dense_config = models.PDSConfig(maximum_disparity=63)
+    banded_config = models.PDSConfig(maximum_disparity=63,
+                                     folded_conv_impl="banded_slab")
+    params = models.init(jax.random.PRNGKey(0), dense_config)
+    keys = jax.random.split(jax.random.PRNGKey(1))
+    left = jax.random.uniform(keys[0], (1, 64, 128, 3)) * 255.0
+    right = jax.random.uniform(keys[1], (1, 64, 128, 3)) * 255.0
+
+    dense = models.apply(params, left, right, dense_config)
+    banded = models.apply(params, left, right, banded_config)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               atol=5e-4)
+
+
+@pytest.mark.parametrize("depth,cin,cout", [
     (48, 8, 8),
     (24, 16, 16),
     (12, 32, 32),
