@@ -182,14 +182,31 @@ def apply_folded(params: dict,
         from practicaldeepstereo_nips2018_tpu.ops import folded3d
         return folded3d.fold(apply(params, left_descriptor, right_descriptor,
                                    maximum_disparity))
-    paired_volume = costvolume.build_cost_volume_paired(
-        params["head"], left_descriptor, right_descriptor,
-        maximum_disparity)
+    planes = costvolume.matching_head_planes(
+        params["head"], left_descriptor, right_descriptor)
+    paired_volume = costvolume.shift_accumulate_volume_paired(
+        *planes, maximum_disparity)
     batch, num_pairs, height, width, lanes = paired_volume.shape
-    x = paired_volume.reshape(batch * num_pairs, height, width, lanes)
     paired_params = _pair_tail_params(params)
     residual_count = sum(1 for name in params if name.startswith("residual"))
-    for i in range(residual_count):
+
+    # Deep factoring: residual block 1's first conv is the last LINEAR
+    # point of the pipeline, so it factors through the shift-assembly like
+    # the head conv did (``ops/costvolume.py::conv1_volume_planes``) — two
+    # 64-channel plane convs replace the largest disparity-batched conv of
+    # the tail (~122 GMac executed at the benchmark shape).
+    conv1_planes = costvolume.conv1_volume_planes(
+        params["residual1"]["block1"]["conv"], *planes)
+    conv1_paired = costvolume.assemble_conv1_volume_paired(
+        conv1_planes, maximum_disparity, width)
+    volume = paired_volume.reshape(batch * num_pairs, height, width, lanes)
+    y = conv1_paired.reshape(batch * num_pairs, height, width, -1)
+    residual1 = paired_params["residual1"]
+    y = blocks.instance_norm(blocks.leaky_relu(y),
+                             residual1["block1"]["norm"])
+    x = volume + blocks.conv_block(residual1["block2"], y)
+
+    for i in range(1, residual_count):
         x = blocks.residual_block(paired_params[f"residual{i + 1}"], x)
     x = blocks.conv(paired_params["tail"], x)
     # [B*P, H, W, 16] -> folded [B, H, W, P*16]; lane index

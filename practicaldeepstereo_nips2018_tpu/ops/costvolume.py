@@ -221,6 +221,162 @@ def build_cost_volume_paired(head_conv_params: dict,
                                           edge_plane, maximum_disparity)
 
 
+# ---------------------------------------------------------------------------
+# Deep factoring: the FIRST tail conv is linear in the volume, so it factors
+# through the shift-assembly exactly like the head conv did
+# ---------------------------------------------------------------------------
+
+
+def conv1_volume_planes(conv1_params: dict,
+                        left_plane: jnp.ndarray,
+                        right_plane_wide: jnp.ndarray,
+                        edge_plane: jnp.ndarray):
+    """Factored planes of ``conv1(volume)`` — conv1 being the first conv of
+    the matching tail's residual block 1, the first operation applied to the
+    cost volume and the last LINEAR point of the pipeline (everything after
+    passes through LeakyReLU).
+
+    Linearity one level deeper: with ``v_d = L + S_d`` (left plane plus the
+    zero-fill-shifted right plane, :func:`shift_accumulate_volume`),
+
+        conv1(v_d) = conv1(L) + conv1(S_d) + b1
+
+    and ``conv1(S_d)`` is again a column shift of ONE fixed convolution
+    ``t_r = conv1(P)`` of the wide right plane ``P`` (support -1..W-1),
+    evaluated on 2 extra left columns (output positions -2..W-1: the
+    windows of ``x = d-2`` and ``x = d-1`` straddle the zero fill and reach
+    ``P[-1]``), plus two exact boundary corrections:
+
+    * the head-level truncation correction column ``c_d = -E[W-d]`` sits at
+      column W-1 of ``v_d``; conv1 smears it into columns W-2..W-1 through
+      its column taps (the W tap falls outside) — closed form from the
+      edge plane;
+    * conv1's own right seam: at ``x = W-1`` the true conv sees zero
+      padding beyond W-1 while ``t_r`` saw the real ``P[W-d]`` through its
+      rightmost tap — subtract a second edge plane ``E2 = conv1_right_tap(P)``
+      (exactly the head's edge-correction construction, one level deeper).
+
+    This replaces the 48-disparity-batched conv1 (the largest single conv
+    of the tail, ~122 GMac executed paired at the benchmark shape) with two
+    64-channel plane convs plus shifted adds.
+
+    Returns:
+        (t_left [B, H, W, C1], t_right_wide [B, H, W+2, C1],
+         smear_w2 [B, H, D?..], ...) — see :func:`assemble_conv1_volume_paired`
+         for consumption; C1 = conv1's output features.
+    """
+    w1, b1 = conv1_params["w"], conv1_params["b"]
+    dtype = left_plane.dtype
+
+    # conv1 of the left plane (no bias here; b1 added once at assembly).
+    t_left = lax.conv_general_dilated(
+        left_plane, w1.astype(dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # conv1 of the wide right plane, with TWO extra left output columns
+    # (positions -2..W-1 of the plane's own coordinate system; P[-1] is the
+    # plane's first stored column, zeros before it).
+    t_right_wide = lax.conv_general_dilated(
+        right_plane_wide, w1.astype(dtype), window_strides=(1, 1),
+        padding=[(1, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # conv1's own right-seam edge plane over P: contribution of one column
+    # of P through conv1's rightmost column tap.
+    right_tap = w1[:, -1:, :, :]
+    edge2_plane = lax.conv_general_dilated(
+        right_plane_wide, right_tap.astype(dtype), window_strides=(1, 1),
+        padding=[(1, 1), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # Column-tap images of the head edge plane: smear[k][., j] is the
+    # contribution of correction value E[j] through conv1 column tap k
+    # (k = 0 left, 1 center, 2 right), i.e. a 1-column conv with the
+    # H-taps of w1 column k.
+    smears = []
+    for k in range(w1.shape[1]):
+        tap = w1[:, k:k + 1, :, :]
+        smears.append(lax.conv_general_dilated(
+            edge_plane, tap.astype(dtype), window_strides=(1, 1),
+            padding=[(1, 1), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+
+    # d=0 left seam: at x=0 the true conv pads v_0[-1]=0, but the wide
+    # plane supplies P[-1] through conv1's LEFT tap — subtract its
+    # contribution (only d=0 reaches P[-1] at a padded position).
+    left_tap = w1[:, 0:1, :, :]
+    left_seam = lax.conv_general_dilated(
+        right_plane_wide[:, :, 0:1, :], left_tap.astype(dtype),
+        window_strides=(1, 1), padding=[(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H, 1, C1]
+    return t_left, t_right_wide, edge2_plane, smears, left_seam, b1
+
+
+def assemble_conv1_volume_paired(planes, maximum_disparity: int,
+                                 width: int) -> jnp.ndarray:
+    """Assembles ``conv1(volume)`` in the disparity-PAIRED layout from
+    :func:`conv1_volume_planes` outputs. Exact (pinned against conv1 of the
+    direct volume in tests, including D >= width).
+
+    Derivation of the pieces (x = output column, d = disparity):
+    ``conv1(v_d)[x] = t_left[x] + T[x-d] + b1 + corrections`` with
+    ``T[u] = t_right_wide`` at stored column ``u+2`` (zero outside), and
+    corrections:
+
+    * x=W-1, 1<=d<=W+1: subtract ``edge2[W-d+1]`` (conv1's right seam saw
+      the real plane column where the true conv pads zero);
+    * x=W-2 / W-1, 1<=d<=W: subtract ``smears[2][W-d]`` / ``smears[1][W-d]``
+      (conv1 smearing the head's truncation correction at column W-1; the
+      k=0 tap lands outside the image);
+    * x=0, d=0 only: subtract the ``left_seam`` column (the wide plane's
+      P[-1] leaks through conv1's left tap where the true conv pads zero).
+    """
+    t_left, t_right_wide, edge2_plane, smears, left_seam, b1 = planes
+    padded = jnp.pad(t_right_wide,
+                     [(0, 0), (0, 0), (maximum_disparity, 0), (0, 0)])
+
+    def shifted(d):
+        start = maximum_disparity - d + 2
+        return lax.slice_in_dim(padded, start, start + width, axis=2)
+
+    zero = jnp.zeros_like(t_left[:, :, 0, :])
+
+    def right_corrections(d):
+        """[B, H, 2, C1]: corrections for columns W-2 and W-1."""
+        if 1 <= d <= width:
+            c_w2 = -smears[2][:, :, width - d, :]
+            c_w1 = -smears[1][:, :, width - d, :]
+        else:
+            c_w2 = c_w1 = zero
+        if 1 <= d <= width + 1:
+            c_w1 = c_w1 - edge2_plane[:, :, width - d + 1, :]
+        return jnp.stack([c_w2, c_w1], axis=2)
+
+    pairs = [
+        jnp.concatenate([shifted(2 * p), shifted(2 * p + 1)], axis=-1)
+        for p in range((maximum_disparity + 1) // 2)
+    ]
+    volume = jnp.stack(pairs, axis=1)  # [B, P, H, W, 2C1]
+
+    correction = jnp.stack([
+        jnp.concatenate([right_corrections(2 * p),
+                         right_corrections(2 * p + 1)], axis=-1)
+        for p in range((maximum_disparity + 1) // 2)
+    ], axis=1)  # [B, P, H, 2, 2C1]
+    volume = volume + jnp.pad(
+        correction, [(0, 0), (0, 0), (0, 0), (max(0, width - 2), 0),
+                     (0, 0)])[:, :, :, -width:]
+
+    # d=0 left seam at column 0 (first member of pair 0 only).
+    channels = t_left.shape[-1]
+    left_fix = jnp.pad(
+        -left_seam[:, :, :, :],
+        [(0, 0), (0, 0), (0, width - 1), (0, channels)])
+    volume = volume.at[:, 0].add(left_fix)
+
+    base = t_left + b1.astype(t_left.dtype)
+    base_pair = jnp.concatenate([base, base], axis=-1)
+    return volume + base_pair[:, None]
+
+
 def cost_volume_direct(head_conv_params: dict,
                        left_descriptor: jnp.ndarray,
                        right_descriptor: jnp.ndarray,

@@ -181,7 +181,12 @@ def conv_block3d_folded(params: dict, folded: jnp.ndarray, depth_in: int,
     ``ops/folded_banded.py``.
     """
     depth_out = (depth_in + 2 - params["conv"]["w"].shape[0]) // stride + 1
-    if impl == "dense":
+    # Stride-2 contraction convs measured FASTER dense than slab (0.26 vs
+    # 0.37 ms on contraction1, scripts/microbench_folded_banded.py r3): the
+    # strided slab convs lower worse than the K-tile saving recovers. The
+    # banded impls therefore apply only to the stride-1 smooths (and the
+    # transposed upsamplers).
+    if impl == "dense" or stride != 1:
         out, _ = conv3d_folded(params["conv"], folded, depth_in, stride)
     else:
         from practicaldeepstereo_nips2018_tpu.ops import folded_banded

@@ -165,6 +165,75 @@ def conv_transpose3d_folded_slab(params: dict, folded: jnp.ndarray,
     return out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
 
 
+def _interleave_phases(phases, batch, height, width, channels):
+    """[(a, b)] -> [B, 2H, 2W, C]: phase (a, b) supplies out[2m+a, 2n+b]."""
+    stacked = jnp.stack(phases)  # [4, B, H, W, C]
+    stacked = stacked.reshape(2, 2, batch, height, width, channels)
+    out = jnp.transpose(stacked, (2, 3, 0, 4, 1, 5))
+    return out.reshape(batch, 2 * height, 2 * width, channels)
+
+
+def conv_transpose3d_folded_phased(params: dict, folded: jnp.ndarray,
+                                   depth_in: int) -> jnp.ndarray:
+    """Transposed 4x4x4 stride-2 folded conv as 4 PHASED stride-1 convs.
+
+    The lhs-dilated form asks XLA to convolve a 2x-dilated input with a 4x4
+    kernel; measured at the hourglass shapes it runs at ~17% MFU — the
+    dilation zeros are NOT being skipped. Decomposing by output phase
+    executes exactly the 2x2 spatial taps each output actually needs:
+    ``out[2m+a, 2n+b]`` is a stride-1 correlation of taps ``u = a, a+2``
+    (input columns ``m-1, m`` for phase 0; ``m, m+1`` for phase 1), then
+    one interleave relayout. Depth mixing stays the banded folded channel
+    matrix. Exact same math as ``folded3d.conv_transpose3d_folded``.
+    """
+    weight = params["w"]  # [4, 4, 4, cin, cout]
+    depth_out = (depth_in - 1) * 2 - 2 + weight.shape[0]
+    kernel = folded3d.banded_kernel(weight, depth_in, depth_out, 2, 1,
+                                    transposed=True)  # [4, 4, I, O]
+    kernel = kernel.astype(folded.dtype)
+    batch, height, width, _ = folded.shape
+    phases = []
+    for a in (0, 1):
+        for b in (0, 1):
+            taps = kernel[a::2][:, b::2]  # [2, 2, I, O]: taps (a, a+2)
+            out = lax.conv_general_dilated(
+                folded, taps, window_strides=(1, 1),
+                padding=[(1 - a, a), (1 - b, b)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            phases.append(out)
+    out = _interleave_phases(phases, batch, height, width,
+                             phases[0].shape[-1])
+    return out + jnp.tile(params["b"], (depth_out,)).astype(out.dtype)
+
+
+def anisotropic_fullsize_transpose_phased(params: dict, folded: jnp.ndarray,
+                                          depth: int) -> jnp.ndarray:
+    """The raw (3, 4, 4) stride (1, 2, 2) final upsampler, phased.
+
+    Same phase decomposition as :func:`conv_transpose3d_folded_phased`
+    (spatial kernel 4, stride 2, pad 1 on both axes; depth kernel 3 stride 1
+    handled by the banded channel matrix). C -> 1, emitting disparity-last
+    similarities [B, 2H, 2W, D]. Exact same math as
+    ``folded3d.anisotropic_fullsize_transpose``.
+    """
+    weight = params["w"]  # [3, 4, 4, C, 1]
+    kernel = folded3d.banded_kernel(weight, depth, depth, depth_stride=1,
+                                    depth_pad=1, transposed=True)
+    kernel = kernel.astype(folded.dtype)
+    batch, height, width, _ = folded.shape
+    phases = []
+    for a in (0, 1):
+        for b in (0, 1):
+            taps = kernel[a::2][:, b::2]
+            out = lax.conv_general_dilated(
+                folded, taps, window_strides=(1, 1),
+                padding=[(1 - a, a), (1 - b, b)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            phases.append(out)
+    out = _interleave_phases(phases, batch, height, width, depth)
+    return out + params["b"].astype(out.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel (stride 1)
 # ---------------------------------------------------------------------------

@@ -59,14 +59,25 @@ def _conv2d(pixels: int, k: int, cin: int, cout: int) -> int:
     return pixels * k * k * cin * cout
 
 
+def _lane_tiles(lanes: int) -> int:
+    """Physical contraction lanes the MXU executes: ceil to 128-lane tiles."""
+    return -(-lanes // 128) * 128
+
+
 def forward_macs(height: int, width: int, maximum_disparity: int,
-                 number_of_features: int = 8) -> list[StageMacs]:
+                 number_of_features: int = 8,
+                 folded_impl: str = "dense") -> list[StageMacs]:
     """Per-stage MAC counts for an eval forward at the PADDED resolution.
 
     Args:
         height, width: padded image size (multiples of 64).
         maximum_disparity: image-space maximum disparity (the 64-rule value).
         number_of_features: hourglass base width (reference default 8).
+        folded_impl: hourglass conv execution ("dense" or a banded variant;
+            banded contracts each 128-lane output group against only its
+            depth slab, rounded up to whole 128-lane K tiles — see
+            ``ops/folded_banded.py``). The anisotropic fullsize upsampler is
+            dense in every impl.
     """
     stages: list[StageMacs] = []
     quarter_h, quarter_w = height // 4, width // 4
@@ -110,10 +121,27 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
     features = number_of_features
 
     def folded_conv(pixels, k_spatial, kd, d_in, d_out, cin, cout,
-                    spatial_taps=None):
+                    spatial_taps=None, stride=1, transposed=False,
+                    banded_eligible=True):
         taps = spatial_taps if spatial_taps is not None else k_spatial ** 2
-        executed = pixels * taps * (d_in * cin) * (d_out * cout)
         useful = pixels * taps * d_out * cout * kd * cin
+        # Stride-2 downs stay dense under the banded impls (measured
+        # faster, ops/folded3d.py::conv_block3d_folded).
+        if (folded_impl == "dense" or not banded_eligible
+                or (stride == 2 and not transposed)):
+            executed = pixels * taps * (d_in * cin) * (d_out * cout)
+            return useful, executed
+        # Banded slab: each 128-lane output group contracts ceil-to-128-tile
+        # slab lanes (its depths + the kd-1 halo); partial last groups still
+        # execute a full 128-lane N tile.
+        group_depths = max(1, 128 // cout)
+        n_groups = -(-d_out // group_depths)
+        if transposed:  # kernel 4, stride 2, pad 1
+            slab_depths = group_depths // 2 + 2
+        else:
+            slab_depths = stride * (group_depths - 1) + 3
+        k_executed = _lane_tiles(min(slab_depths, d_in + 2) * cin)
+        executed = pixels * taps * k_executed * 128 * n_groups
         return useful, executed
 
     hour_useful = hour_executed = 0
@@ -129,7 +157,7 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
         down_depth = (level_depth + 2 - 3) // 2 + 1
         down_h, down_w = (level_h + 1) // 2, (level_w + 1) // 2
         u, e = folded_conv(down_h * down_w, 3, 3, level_depth, down_depth,
-                           level_c, 2 * level_c)
+                           level_c, 2 * level_c, stride=2)
         hour_useful += u
         hour_executed += e
         u, e = folded_conv(down_h * down_w, 3, 3, down_depth, down_depth,
@@ -144,7 +172,8 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
         # transposed 4x4x4 stride 2: executed spatial taps 2x2 (XLA skips
         # dilation zeros); useful depth taps ceil(4/2) = 2.
         u, e = folded_conv(up_h * up_w, 4, 2, level_depth, up_depth,
-                           level_c, level_c // 2, spatial_taps=4)
+                           level_c, level_c // 2, spatial_taps=4,
+                           transposed=True)
         hour_useful += u
         hour_executed += e
         u, e = folded_conv(up_h * up_w, 3, 3, up_depth, up_depth,
@@ -160,10 +189,12 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
     half_h, half_w = 2 * level_h, 2 * level_w
     half_depth = 2 * level_depth
     u1, e1 = folded_conv(half_h * half_w, 4, 2, level_depth, half_depth,
-                         level_c, level_c // 2, spatial_taps=4)
+                         level_c, level_c // 2, spatial_taps=4,
+                         transposed=True)
     # upsample to fullsize: anisotropic (3,4,4) s(1,2,2), C/2 -> 1.
     u2, e2 = folded_conv(4 * half_h * half_w, 4, 3, half_depth, half_depth,
-                         level_c // 2, 1, spatial_taps=4)
+                         level_c // 2, 1, spatial_taps=4,
+                         banded_eligible=False)
     stages.append(StageMacs("upsamplers (folded)", u1 + u2, e1 + e2))
     return stages
 

@@ -42,9 +42,10 @@ from practicaldeepstereo_nips2018_tpu.ops import folded3d  # noqa: E402
 from practicaldeepstereo_nips2018_tpu.ops import folded_banded  # noqa: E402
 
 # Sub-ms programs: long device loops + extra repeats, or relay jitter
-# swamps the slope (a 0.2 ms program over 8 iterations is ~1.6 ms of device
-# time against ~50 ms of transport).
-SHORT, LONG, REPEATS = 10, 60, 5
+# swamps the slope (a 0.2 ms program over 60 iterations is ~12 ms of device
+# time against ~±10 ms of transport noise — measured negative slopes).
+# The trip count is a runtime argument, so longer loops cost no recompiles.
+SHORT, LONG, REPEATS = 20, 220, 5
 DTYPE = jnp.bfloat16
 
 # The folded conv shapes that dominate the benchmark forward (576x960 padded,
@@ -86,12 +87,25 @@ def slope(fn, params, x):
     return statistics.median(samples)
 
 
-# Transposed folded convs (kernel 4, stride 2): (name, H, W, depth, cin,
-# cout). halfsize executes 81.5 GMac dense — the largest single folded conv.
+# Transposed folded convs (kernel 4, stride 2): (name, INPUT H, W, depth,
+# cin, cout) — input resolutions of the benchmark forward (576x960, D'=48).
 TRANSPOSED_SHAPES = [
-    ("upsample_to_halfsize", 288, 480, 48, 8, 4),
-    ("expansion4_up", 144, 240, 24, 16, 8),
+    ("upsample_to_halfsize", 144, 240, 48, 8, 4),
+    ("expansion4_up", 72, 120, 24, 16, 8),
 ]
+
+
+def _compare(results, label, fn, params, folded, out_dense):
+    try:
+        out = jax.jit(fn)(params, folded)
+        error = float(jnp.max(jnp.abs(
+            out.astype(jnp.float32) - out_dense.astype(jnp.float32))))
+        if error > 0.1:
+            results[label] = f"WRONG (max err {error:.3f})"
+        else:
+            results[label] = slope(fn, params, folded)
+    except Exception as exc:  # noqa: BLE001
+        results[label] = f"FAILED ({type(exc).__name__}: {exc})"
 
 
 def bench_transposed():
@@ -108,24 +122,40 @@ def bench_transposed():
             lambda p, x: folded3d.conv_transpose3d_folded(p, x, depth)[0])(
                 params, folded)
         results = {"dense": dense}
-        try:
-            out = jax.jit(functools.partial(
-                folded_banded.conv_transpose3d_folded_slab,
-                depth_in=depth))(params, folded)
-            error = float(jnp.max(jnp.abs(
-                out.astype(jnp.float32) - out_dense.astype(jnp.float32))))
-            if error > 0.1:
-                results["xla-slab"] = f"WRONG (max err {error:.3f})"
-            else:
-                results["xla-slab"] = slope(
-                    lambda p, x: folded_banded.conv_transpose3d_folded_slab(
-                        p, x, depth_in=depth),
-                    params, folded)
-        except Exception as exc:  # noqa: BLE001
-            results["xla-slab"] = f"FAILED ({type(exc).__name__}: {exc})"
+        _compare(results, "xla-slab",
+                 functools.partial(folded_banded.conv_transpose3d_folded_slab,
+                                   depth_in=depth),
+                 params, folded, out_dense)
+        _compare(results, "phased",
+                 functools.partial(
+                     folded_banded.conv_transpose3d_folded_phased,
+                     depth_in=depth),
+                 params, folded, out_dense)
         print(f"{name}: " + ", ".join(
             f"{k}={v * 1e3:.3f} ms" if isinstance(v, float) else f"{k}={v}"
             for k, v in results.items()), flush=True)
+
+    # Anisotropic fullsize upsampler: [1, 288, 480, 96*4] -> [1, 576, 960,
+    # 96]; the one stage never timed in isolation before.
+    params = blocks.init_conv(jax.random.PRNGKey(0), (3, 4, 4), 4, 1,
+                              spatial_dims=3)
+    params = jax.tree.map(lambda p: p.astype(DTYPE), params)
+    folded = jax.random.uniform(jax.random.PRNGKey(1), (1, 288, 480, 384),
+                                DTYPE)
+    dense = slope(
+        lambda p, x: folded3d.anisotropic_fullsize_transpose(p, x, 96),
+        params, folded)
+    out_dense = jax.jit(
+        lambda p, x: folded3d.anisotropic_fullsize_transpose(p, x, 96))(
+            params, folded)
+    results = {"dense": dense}
+    _compare(results, "phased",
+             lambda p, x: folded_banded.anisotropic_fullsize_transpose_phased(
+                 p, x, 96),
+             params, folded, out_dense)
+    print("anisotropic_fullsize: " + ", ".join(
+        f"{k}={v * 1e3:.3f} ms" if isinstance(v, float) else f"{k}={v}"
+        for k, v in results.items()), flush=True)
 
 
 def main():

@@ -60,6 +60,36 @@ def test_transpose_slab_matches_dense(depth, cin, cout):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("depth,cin,cout", [
+    (48, 8, 4),
+    (24, 16, 8),
+    (3, 128, 64),
+])
+def test_transpose_phased_matches_dense(depth, cin, cout):
+    params = blocks.init_conv(jax.random.PRNGKey(2), 4, cin, cout,
+                              spatial_dims=3)
+    folded = jax.random.uniform(jax.random.PRNGKey(3),
+                                (2, 6, 10, depth * cin))
+    dense, _ = folded3d.conv_transpose3d_folded(params, folded, depth)
+    phased = folded_banded.conv_transpose3d_folded_phased(params, folded,
+                                                          depth)
+    assert phased.shape == dense.shape
+    np.testing.assert_allclose(np.asarray(phased), np.asarray(dense),
+                               atol=1e-5)
+
+
+def test_anisotropic_phased_matches_dense():
+    params = blocks.init_conv(jax.random.PRNGKey(4), (3, 4, 4), 4, 1,
+                              spatial_dims=3)
+    folded = jax.random.uniform(jax.random.PRNGKey(5), (2, 6, 10, 96 * 4))
+    dense = folded3d.anisotropic_fullsize_transpose(params, folded, 96)
+    phased = folded_banded.anisotropic_fullsize_transpose_phased(
+        params, folded, 96)
+    assert phased.shape == dense.shape
+    np.testing.assert_allclose(np.asarray(phased), np.asarray(dense),
+                               atol=1e-5)
+
+
 def test_network_banded_impl_matches_dense():
     """Full forward with config.folded_conv_impl='banded_slab' equals the
     dense execution (same math, different conv tiling)."""

@@ -60,6 +60,44 @@ def test_factored_build_equals_direct_loop():
             f"mismatch at D={maximum_disparity}"
 
 
+def test_deep_factored_conv1_volume_equals_direct():
+    """conv1 (the tail's first conv — the last linear point) factored
+    through the shift-assembly must equal conv1 applied per-disparity to
+    the direct-loop volume, incl. every boundary case: d=0 left seam,
+    right truncation smears, conv1's own right seam, and d >= width."""
+    from practicaldeepstereo_nips2018_tpu.models import blocks
+
+    key = jax.random.PRNGKey(0)
+    params = matching.init(key)
+    head = params["head"]
+    conv1 = params["residual1"]["block1"]["conv"]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    left = jax.random.normal(k1, (2, 6, 20, 64))
+    right = jax.random.normal(k2, (2, 6, 20, 64))
+    width = left.shape[2]
+
+    for maximum_disparity in (1, 3, 15, 25):
+        direct = costvolume.cost_volume_direct(head, left, right,
+                                               maximum_disparity)
+        batch, levels, height, _, channels = direct.shape
+        expected = blocks.conv(
+            conv1, direct.reshape(batch * levels, height, width, channels))
+        expected = expected.reshape(batch, levels, height, width, -1)
+
+        planes = costvolume.matching_head_planes(head, left, right)
+        deep_planes = costvolume.conv1_volume_planes(conv1, *planes)
+        paired = costvolume.assemble_conv1_volume_paired(
+            deep_planes, maximum_disparity, width)
+        # paired [B, P, H, W, 2*C1] -> [B, D+1, H, W, C1]
+        assembled = paired.reshape(batch, levels // 2, height, width, 2, -1)
+        assembled = jnp.moveaxis(assembled, 4, 2).reshape(
+            batch, levels, height, width, -1)
+        assert np.allclose(np.asarray(assembled), np.asarray(expected),
+                           atol=1e-4), (
+            f"D={maximum_disparity}: max err "
+            f"{np.abs(np.asarray(assembled) - np.asarray(expected)).max()}")
+
+
 def test_factored_build_disparity_exceeding_width():
     # Disparities larger than the image width must degenerate to the pure
     # left plane (all right taps are zero fill), like the reference's
