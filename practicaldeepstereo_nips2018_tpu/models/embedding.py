@@ -110,6 +110,13 @@ def apply_pair(params: dict, left: jnp.ndarray, right: jnp.ndarray,
     padded quarter resolution. Equivalent to ``apply(pad(left))`` /
     ``apply(pad(right))`` with the right image's unused shortcut head
     skipped (reference computes and discards it, ``network.py:39-40``).
+
+    MEASURED NEGATIVE RESULT (r3, ``scripts/ab_embedding_frontend.py``):
+    4.55 ms vs 2.38 ms for the plain per-image pad->cast->norm->tower on
+    v5e at 960x540 — the batch-axis concat of two physically lane-padded
+    image tensors materializes copies, while XLA already fuses the plain
+    front-end into the first conv. Not used by ``models.network``; kept
+    (with its equivalence test) as the documented measurement.
     """
     batch = left.shape[0]
     both = jnp.concatenate([left, right], axis=0)

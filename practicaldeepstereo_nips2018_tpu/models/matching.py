@@ -162,7 +162,8 @@ def _pair_tail_params(params: dict) -> dict:
 def apply_folded(params: dict,
                  left_descriptor: jnp.ndarray,
                  right_descriptor: jnp.ndarray,
-                 maximum_disparity: int) -> jnp.ndarray:
+                 maximum_disparity: int,
+                 factor_conv1: bool = True) -> jnp.ndarray:
     """Matching signatures directly in depth-FOLDED layout.
 
     Returns [B, H/4, W/4, (D+1)*8] — lane order (disparity, channel), i.e.
@@ -190,23 +191,29 @@ def apply_folded(params: dict,
     paired_params = _pair_tail_params(params)
     residual_count = sum(1 for name in params if name.startswith("residual"))
 
-    # Deep factoring: residual block 1's first conv is the last LINEAR
-    # point of the pipeline, so it factors through the shift-assembly like
-    # the head conv did (``ops/costvolume.py::conv1_volume_planes``) — two
-    # 64-channel plane convs replace the largest disparity-batched conv of
-    # the tail (~122 GMac executed at the benchmark shape).
-    conv1_planes = costvolume.conv1_volume_planes(
-        params["residual1"]["block1"]["conv"], *planes)
-    conv1_paired = costvolume.assemble_conv1_volume_paired(
-        conv1_planes, maximum_disparity, width)
-    volume = paired_volume.reshape(batch * num_pairs, height, width, lanes)
-    y = conv1_paired.reshape(batch * num_pairs, height, width, -1)
-    residual1 = paired_params["residual1"]
-    y = blocks.instance_norm(blocks.leaky_relu(y),
-                             residual1["block1"]["norm"])
-    x = volume + blocks.conv_block(residual1["block2"], y)
+    if factor_conv1:
+        # Deep factoring: residual block 1's first conv is the last LINEAR
+        # point of the pipeline, so it factors through the shift-assembly
+        # like the head conv did (``ops/costvolume.py::conv1_volume_planes``)
+        # — two 64-channel plane convs replace the largest disparity-batched
+        # conv of the tail (~122 GMac executed at the benchmark shape).
+        conv1_planes = costvolume.conv1_volume_planes(
+            params["residual1"]["block1"]["conv"], *planes)
+        conv1_paired = costvolume.assemble_conv1_volume_paired(
+            conv1_planes, maximum_disparity, width)
+        volume = paired_volume.reshape(batch * num_pairs, height, width,
+                                       lanes)
+        y = conv1_paired.reshape(batch * num_pairs, height, width, -1)
+        residual1 = paired_params["residual1"]
+        y = blocks.instance_norm(blocks.leaky_relu(y),
+                                 residual1["block1"]["norm"])
+        x = volume + blocks.conv_block(residual1["block2"], y)
+        first_residual = 1
+    else:
+        x = paired_volume.reshape(batch * num_pairs, height, width, lanes)
+        first_residual = 0
 
-    for i in range(1, residual_count):
+    for i in range(first_residual, residual_count):
         x = blocks.residual_block(paired_params[f"residual{i + 1}"], x)
     x = blocks.conv(paired_params["tail"], x)
     # [B*P, H, W, 16] -> folded [B, H, W, P*16]; lane index

@@ -66,6 +66,14 @@ class PDSConfig:
     # "banded_pallas" (exact alternatives, see ``ops/folded_banded.py``;
     # the Pallas form is forward-only — training keeps dense/slab).
     folded_conv_impl: str = "dense"
+    # Deep-factor the matching tail's first conv through the cost-volume
+    # shift-assembly (exact; ``ops/costvolume.py::conv1_volume_planes``).
+    # Default OFF: the factoring removes ~122 GMac but measured +4 ms end
+    # to end on v5e — the second volume assembly (24 stacked pair slices +
+    # seam corrections) breaks XLA's fusion of the tail, costing more than
+    # the conv it saves (scripts/ab_eval_configs.py, r3). Kept as an exact
+    # opt-in: the trade may flip on chips with higher FLOP:byte ratios.
+    factor_tail_conv1: bool = False
 
     def __post_init__(self):
         validate_maximum_disparity(self.maximum_disparity)
@@ -160,28 +168,32 @@ def apply_padded(params: dict,
     resolution. The estimator is pixel-wise over the disparity axis, so
     inference applies it before cropping (exactly the reference's order,
     ``network.py:45-52``) and saves a full-resolution copy."""
-    # Cast FIRST (halves all image traffic — zeros pad exactly in any
-    # dtype), then run both images through ONE batched tower call with the
-    # pad + input instance norm fused (see ``embedding._normalize_padded``:
-    # a C=3 image is physically 128-lane padded, so every separate pass
-    # over it costs ~42x its logical bytes).
-    left = left_image
-    right = right_image
+    # Plain pad -> cast -> per-image tower. Measured (r3,
+    # scripts/ab_embedding_frontend.py): XLA already fuses the pad, cast
+    # and input instance norm into the first conv's passes — the "smarter"
+    # alternatives (cast-first, closed-form padded moments, both images
+    # concatenated into one batched call) all measured equal or WORSE; the
+    # concat variant cost +2.2 ms (the batch-axis concat of two physically
+    # 128-lane-padded image tensors materializes copies XLA otherwise
+    # avoids). ``embedding.apply_pair`` survives as the documented negative
+    # result.
+    left = pad_ops.pad_to_multiple(left_image, config.minimum_size)
+    right = pad_ops.pad_to_multiple(right_image, config.minimum_size)
     if compute_dtype is not None:
         left = left.astype(compute_dtype)
         right = right.astype(compute_dtype)
-    pad_height, pad_width = pad_ops.pad_amounts(
-        left.shape[1], left.shape[2], config.minimum_size)
-    left_descriptor, right_descriptor, shortcut_from_left = (
-        embedding.apply_pair(params["embedding"], left, right, pad_height,
-                             pad_width))
+
+    left_descriptor, shortcut_from_left = embedding.apply(
+        params["embedding"], left)
+    right_descriptor, _ = embedding.apply(params["embedding"], right)
     # The matching -> regularization handoff stays in depth-FOLDED layout
     # end to end (lane order (disparity, channel)); the unfolded
     # [B, D, H, W, 8] tensor would tile 16x lane-padded (~400 MB at the
     # benchmark shape) purely as an interface artifact.
     matching_fn = functools.partial(
         matching.apply_folded,
-        maximum_disparity=config.matching_maximum_disparity)
+        maximum_disparity=config.matching_maximum_disparity,
+        factor_conv1=config.factor_tail_conv1)
     if config.remat:
         matching_fn = jax.checkpoint(matching_fn)
     folded_signatures = matching_fn(params["matching"], left_descriptor,

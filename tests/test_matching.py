@@ -98,6 +98,23 @@ def test_deep_factored_conv1_volume_equals_direct():
             f"{np.abs(np.asarray(assembled) - np.asarray(expected)).max()}")
 
 
+def test_apply_folded_factor_conv1_matches_oracle():
+    """Both tail execution paths (deep-factored conv1 on/off) must produce
+    the fold of the unpaired oracle."""
+    from practicaldeepstereo_nips2018_tpu.ops import folded3d
+
+    params = matching.init(jax.random.PRNGKey(0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    left = jax.random.normal(k1, (1, 6, 20, 64))
+    right = jax.random.normal(k2, (1, 6, 20, 64))
+    oracle = folded3d.fold(matching.apply(params, left, right, 15))
+    for factor in (True, False):
+        out = matching.apply_folded(params, left, right, 15,
+                                    factor_conv1=factor)
+        assert np.allclose(np.asarray(out), np.asarray(oracle),
+                           atol=1e-4), f"factor_conv1={factor}"
+
+
 def test_factored_build_disparity_exceeding_width():
     # Disparities larger than the image width must degenerate to the pure
     # left plane (all right taps are zero fill), like the reference's
