@@ -49,7 +49,7 @@ MAXIMUM_DISPARITY = 191
 TRAIN_MAXIMUM_DISPARITY = 255  # the reference's training range
 SHORT_ITERATIONS = 2
 LONG_ITERATIONS = 10
-REPEATS = 3
+REPEATS = 5  # relay jitter makes 3-sample medians swing ~20% (measured)
 # Hourglass conv execution (exact alternatives, ops/folded_banded.py):
 # banded_slab measured faster than dense on every eligible conv shape
 # (scripts/microbench_folded_banded.py, r3).

@@ -50,6 +50,10 @@ def parse_arguments():
                         "shard across it)")
     parser.add_argument("--mesh_volume", type=int, default=1,
                         help="cost-volume W-sharding mesh axis size")
+    parser.add_argument("--folded_conv_impl", default="banded_slab",
+                        choices=["dense", "banded_slab",
+                                 "banded_pallas"],
+                        help="hourglass conv execution (exact alternatives; banded_slab measured fastest on TPU v5e)")
     return parser.parse_args()
 
 
@@ -59,7 +63,9 @@ def main():
 
     test_set = FlyingThings3D.benchmark_dataset(
         args.dataset_folder, is_psm_protocol=args.is_psm_protocol)
-    config = models.PDSConfig(maximum_disparity=args.maximum_disparity)
+    config = models.PDSConfig(
+        maximum_disparity=args.maximum_disparity,
+        folded_conv_impl=args.folded_conv_impl)
     params = models.init(jax.random.PRNGKey(0), config)
 
     mesh = None

@@ -49,6 +49,10 @@ def parse_arguments():
     parser.add_argument("--mesh_volume", type=int, default=1)
     parser.add_argument("--bfloat16", action="store_true")
     parser.add_argument("--num_workers", type=int, default=3)
+    parser.add_argument("--folded_conv_impl", default="banded_slab",
+                        choices=["dense", "banded_slab",
+                                 "banded_pallas"],
+                        help="hourglass conv execution (exact alternatives; banded_slab measured fastest on TPU v5e)")
     return parser.parse_args()
 
 
@@ -61,7 +65,9 @@ def main():
     training_set.append_transformers(pad)
     validation_set.append_transformers(pad)
 
-    config = models.PDSConfig(maximum_disparity=args.maximum_disparity)
+    config = models.PDSConfig(
+        maximum_disparity=args.maximum_disparity,
+        folded_conv_impl=args.folded_conv_impl)
     params = models.init(jax.random.PRNGKey(0), config)
 
     mesh = None

@@ -59,6 +59,10 @@ def parse_arguments():
     parser.add_argument("--num_workers", type=int, default=3)
     parser.add_argument("--small_split", action="store_true",
                         help="use the 3000/300-example tuning split")
+    parser.add_argument("--folded_conv_impl", default="banded_slab",
+                        choices=["dense", "banded_slab",
+                                 "banded_pallas"],
+                        help="hourglass conv execution (exact alternatives; banded_slab measured fastest on TPU v5e)")
     return parser.parse_args()
 
 
@@ -69,13 +73,17 @@ def main():
     if args.small_split:
         training_set, validation_set = FlyingThings3D.small_training_split(
             args.dataset_folder)
-        config = models.PDSConfig(maximum_disparity=127)
+        config = models.PDSConfig(
+            maximum_disparity=127,
+            folded_conv_impl=args.folded_conv_impl)
     else:
         training_set, validation_set = FlyingThings3D.training_split(
             args.dataset_folder, maximum_disparity=args.maximum_disparity,
             number_of_validation_examples=(
                 args.number_of_validation_examples))
-        config = models.PDSConfig(maximum_disparity=args.maximum_disparity)
+        config = models.PDSConfig(
+        maximum_disparity=args.maximum_disparity,
+        folded_conv_impl=args.folded_conv_impl)
 
     if args.crop_height and args.crop_width:
         training_set.append_transformers(
