@@ -27,7 +27,7 @@ from practicaldeepstereo_nips2018_tpu.ops import pad as pad_ops  # noqa: E402
 
 HEIGHT, WIDTH = 540, 960
 MAXIMUM_DISPARITY = 191
-SHORT, LONG, REPEATS = 2, 10, 3
+SHORT, LONG, REPEATS = 5, 45, 5  # tight slopes; trip count is a runtime arg
 DTYPE = jnp.bfloat16
 
 
