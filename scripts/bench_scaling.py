@@ -75,13 +75,22 @@ def main():
     available = len(jax.devices())
     mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32)
                   if n <= min(arguments.devices, available)]
+    # Every (data, volume) decomposition is measured and recorded SEPARATELY
+    # — data-scaling and volume-scaling have different communication costs
+    # (gradient psum vs conv halo exchange), so one efficiency series that
+    # silently switches decomposition with N would conflate them.
+    decompositions = []
+    for n_devices in mesh_sizes:
+        decompositions.append((n_devices, 1))
+        if n_devices % 2 == 0:
+            decompositions.append((n_devices // 2, 2))
 
-    def measure(n_devices: int) -> float:
-        """Frames/s of the train step on an n-device mesh."""
-        volume = 2 if n_devices % 2 == 0 else 1
-        mesh = make_mesh(data=n_devices // volume, volume=volume,
+    def measure(data_size: int, volume: int) -> float:
+        """Frames/s of the train step on a (data x volume) mesh."""
+        n_devices = data_size * volume
+        mesh = make_mesh(data=data_size, volume=volume,
                          devices=jax.devices()[:n_devices])
-        batch = n_devices // volume
+        batch = data_size
         keys = jax.random.split(jax.random.PRNGKey(1), 3)
         shape = (batch, arguments.height, arguments.width)
         left = jax.random.uniform(keys[0], shape + (3,)) * 255.0
@@ -138,23 +147,88 @@ def main():
         seconds_per_step = statistics.median(samples)
         return batch / seconds_per_step
 
-    results = {}
-    for n_devices in mesh_sizes:
-        results[n_devices] = measure(n_devices)
+    def measure_eval(data_size: int, volume: int) -> float:
+        """Frames/s of the per-example-metric eval step with one example per
+        data row (examples shard over ``data`` — the trainer's batched eval
+        path, ``training/trainer.py::_eval_step``)."""
+        n_devices = data_size * volume
+        mesh = make_mesh(data=data_size, volume=volume,
+                         devices=jax.devices()[:n_devices])
+        batch = data_size
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        shape = (batch, arguments.height, arguments.width)
+        left = jax.random.uniform(keys[0], shape + (3,)) * 255.0
+        right = jax.random.uniform(keys[1], shape + (3,)) * 255.0
+        ground_truth = jax.random.uniform(keys[2], shape) * 40.0
 
-    base = results[1]
+        replicated = NamedSharding(mesh, P())
+        placed_params = jax.device_put(params, replicated)
+        batch_spec = sharding.compatible_batch_sharding
+        left = jax.device_put(left, batch_spec(mesh, left.shape))
+        right = jax.device_put(right, batch_spec(mesh, right.shape))
+        ground_truth = jax.device_put(
+            ground_truth, batch_spec(mesh, ground_truth.shape))
+
+        @jax.jit
+        def run(params, iterations):
+            def step(_, carry):
+                disparity = models.infer(params, left + carry * 1e-30,
+                                         right, config)
+                _, three_pe = jax.vmap(ops.n_pixels_error)(disparity,
+                                                           ground_truth)
+                _, mae = jax.vmap(ops.absolute_error)(disparity,
+                                                      ground_truth)
+                return jnp.mean(three_pe) + jnp.mean(mae)
+
+            return jax.lax.fori_loop(0, iterations, step, jnp.float32(0.0))
+
+        float(run(placed_params, 1))  # compile
+
+        def timed(iterations):
+            start = time.perf_counter()
+            float(run(placed_params, iterations))
+            return time.perf_counter() - start
+
+        short_steps = max(1, arguments.steps // 4)
+        samples = [
+            (timed(arguments.steps) - timed(short_steps))
+            / (arguments.steps - short_steps)
+            for _ in range(arguments.repeats)
+        ]
+        return batch / statistics.median(samples)
+
+    entries = []
+    for data_size, volume in decompositions:
+        entries.append({
+            "devices": data_size * volume,
+            "data": data_size,
+            "volume": volume,
+            "train_frames_per_second": round(measure(data_size, volume), 3),
+            "eval_frames_per_second": round(
+                measure_eval(data_size, volume), 3),
+        })
+
+    base = next(e for e in entries if e["devices"] == 1)
+    for entry in entries:
+        entry["train_efficiency_vs_1_device"] = round(
+            entry["train_frames_per_second"]
+            / (entry["devices"] * base["train_frames_per_second"]), 3)
+        entry["eval_efficiency_vs_1_device"] = round(
+            entry["eval_frames_per_second"]
+            / (entry["devices"] * base["eval_frames_per_second"]), 3)
+
     report = {
         "metric": "train_scaling_efficiency",
         "unit": "fraction_of_linear",
         "platform": jax.devices()[0].platform,
         "virtual": arguments.platform == "cpu",
+        "note": ("virtual CPU devices share host cores; these numbers "
+                 "validate the harness and the sharded programs, NOT ICI "
+                 "scaling" if arguments.platform == "cpu" else
+                 "real multi-chip run"),
         "shape": [arguments.height, arguments.width],
         "maximum_disparity": arguments.maximum_disparity,
-        "frames_per_second": {str(n): round(v, 3)
-                              for n, v in results.items()},
-        "efficiency_vs_1_device": {
-            str(n): round(results[n] / (n * base), 3) for n in results
-        },
+        "entries": entries,
     }
     print(json.dumps(report))
     if arguments.output:
