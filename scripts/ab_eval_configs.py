@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 from practicaldeepstereo_nips2018_tpu import models  # noqa: E402
 
 HEIGHT, WIDTH = 540, 960
-SHORT, LONG, REPEATS = 2, 10, 3
+SHORT, LONG, REPEATS = 5, 45, 5
 
 
 def timed_config(impl, factor, params, left, right):
