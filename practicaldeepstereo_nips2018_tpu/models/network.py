@@ -77,6 +77,11 @@ class PDSConfig:
 
     def __post_init__(self):
         validate_maximum_disparity(self.maximum_disparity)
+        if self.folded_conv_impl not in ("dense", "banded_slab",
+                                         "banded_pallas"):
+            raise ValueError(
+                f'unknown folded_conv_impl "{self.folded_conv_impl}"; '
+                'expected "dense", "banded_slab" or "banded_pallas"')
 
     @property
     def matching_maximum_disparity(self) -> int:

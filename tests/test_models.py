@@ -29,6 +29,13 @@ def test_embedding_output_size():
     assert shortcut.shape == (2, 25, 25, 8)
 
 
+def test_unknown_folded_conv_impl_rejected():
+    from practicaldeepstereo_nips2018_tpu import models
+
+    with pytest.raises(ValueError, match="folded_conv_impl"):
+        models.PDSConfig(maximum_disparity=63, folded_conv_impl="slab")
+
+
 def test_embedding_apply_pair_matches_separate_padded_calls():
     """The fused batched front-end (cast-first, pad+instance-norm in one
     pass, both images in one tower call) must equal the plain path:
