@@ -1,0 +1,63 @@
+"""End-to-end CLI smoke tests (SURVEY §1: the CLI layer is a tested
+surface — the reference's scripts are exercised by its test suite only
+indirectly; here the actual entry points run on the synthetic fixture
+dataset).
+
+Each CLI runs in a SUBPROCESS that pins the CPU platform before the script
+imports anything (the ambient environment boots a TPU plugin via
+sitecustomize and re-pins ``jax_platforms`` with ``jax.config.update``,
+which overrides the env var — production scripts correctly inherit the
+real TPU, tests must not)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests import fixtures
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(script: str, arguments: list[str]) -> str:
+    driver = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import runpy, sys;"
+        f"sys.argv = [{script!r}] + {arguments!r};"
+        f"runpy.run_path({os.path.join(REPO_ROOT, script)!r},"
+        "run_name='__main__')"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", driver], capture_output=True, text=True,
+        timeout=900, cwd=REPO_ROOT)
+    assert result.returncode == 0, (result.stdout, result.stderr)
+    return result.stdout
+
+
+@pytest.mark.slow
+def test_train_and_benchmark_cli_end_to_end(tmp_path):
+    dataset = fixtures.make_flyingthings3d_tree(str(tmp_path / "dataset"))
+    experiment = str(tmp_path / "experiment")
+
+    _run_cli("scripts/train_flyingthings3d.py", [
+        "--dataset_folder", dataset,
+        "--experiment_folder", experiment,
+        "--maximum_disparity", "63",
+        "--number_of_validation_examples", "0",
+        "--end_epoch", "1",
+        "--learning_rate", "1e-3",
+        "--num_workers", "1",
+    ])
+    assert os.path.exists(os.path.join(experiment, "001_checkpoint.npz"))
+    assert os.path.exists(os.path.join(experiment, "log.txt"))
+
+    stdout = _run_cli("scripts/benchmark_flyingthings3d.py", [
+        "--dataset_folder", dataset,
+        "--experiment_folder", str(tmp_path / "bench"),
+        "--checkpoint_file", os.path.join(experiment, "001_checkpoint.npz"),
+        "--is_psm_protocol",
+        "--maximum_disparity", "63",
+        "--num_workers", "1",
+    ])
+    assert "MAE" in stdout and "3PE" in stdout, stdout
