@@ -42,6 +42,9 @@ def parse_arguments():
                         help="KITTI ground truth reaches 231 px")
     parser.add_argument("--end_epoch", type=int, default=500)
     parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--number_of_validation_examples", type=int,
+                        default=58,
+                        help="held-out examples (reference: seed(0), 58)")
     parser.add_argument("--pad_height", type=int, default=384)
     parser.add_argument("--pad_width", type=int, default=1280)
     parser.add_argument("--batch_size", type=int, default=1)
@@ -60,7 +63,10 @@ def main():
     args = parse_arguments()
     os.makedirs(args.experiment_folder, exist_ok=True)
 
-    training_set, validation_set = Kitti.training_split(args.dataset_folder)
+    training_set, validation_set = Kitti.training_split(
+        args.dataset_folder,
+        number_of_validation_examples=(
+            args.number_of_validation_examples))
     pad = [transforms.PadToSize(args.pad_height, args.pad_width)]
     training_set.append_transformers(pad)
     validation_set.append_transformers(pad)

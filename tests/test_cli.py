@@ -61,3 +61,22 @@ def test_train_and_benchmark_cli_end_to_end(tmp_path):
         "--num_workers", "1",
     ])
     assert "MAE" in stdout and "3PE" in stdout, stdout
+
+
+@pytest.mark.slow
+def test_finetune_kitti_cli_end_to_end(tmp_path):
+    dataset = fixtures.make_kitti_tree(str(tmp_path / "kitti"))
+    experiment = str(tmp_path / "experiment")
+
+    _run_cli("scripts/finetune_kitti.py", [
+        "--dataset_folder", dataset,
+        "--experiment_folder", experiment,
+        "--maximum_disparity", "63",
+        "--number_of_validation_examples", "1",
+        "--end_epoch", "1",
+        "--pad_height", "40",
+        "--pad_width", "56",
+        "--num_workers", "1",
+    ])
+    assert os.path.exists(os.path.join(experiment, "001_checkpoint.npz"))
+    assert os.path.exists(os.path.join(experiment, "log.txt"))
