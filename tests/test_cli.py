@@ -64,6 +64,41 @@ def test_train_and_benchmark_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_import_torch_checkpoint_cli(tmp_path):
+    """The published-checkpoint import path as users run it: a torch
+    checkpoint in the reference trainer's on-disk format
+    (``trainer.py:110-122``) -> CLI -> npz loadable with
+    load_only_network."""
+    import sys as sys_module
+
+    import torch
+
+    if "/root/reference" not in sys_module.path:
+        sys_module.path.insert(0, "/root/reference")
+    from practical_deep_stereo import network as reference_network
+
+    reference = reference_network.PdsNetwork.default(63)
+    torch_file = str(tmp_path / "010_checkpoint.bin")
+    torch.save({"network": reference.state_dict(), "training_losses": [],
+                "test_errors": []}, torch_file)
+
+    output = str(tmp_path / "imported" / "000_checkpoint.npz")
+    _run_cli("scripts/import_torch_checkpoint.py", [
+        "--torch_checkpoint", torch_file, "--output", output])
+    assert os.path.exists(output)
+
+    from practicaldeepstereo_nips2018_tpu import models
+    from practicaldeepstereo_nips2018_tpu.training import PDSTrainer
+
+    config = models.PDSConfig(maximum_disparity=63)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=models.init(__import__("jax").random.PRNGKey(0), config),
+        experiment_folder=str(tmp_path))
+    trainer.load_checkpoint(output, load_only_network=True)
+
+
+@pytest.mark.slow
 def test_finetune_kitti_cli_end_to_end(tmp_path):
     dataset = fixtures.make_kitti_tree(str(tmp_path / "kitti"))
     experiment = str(tmp_path / "experiment")
