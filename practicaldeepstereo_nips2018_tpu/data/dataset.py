@@ -101,9 +101,20 @@ class Dataset:
         """Returns the raw example record (paths + metadata)."""
         return self._examples_files[index]
 
+    def set_epoch(self, epoch: int) -> None:
+        """Forwards the epoch to transformers that derive per-(epoch,
+        example) random state (e.g. seeded RandomCrop); called by the
+        Loader at each epoch boundary."""
+        for transformer in self._transformers or []:
+            if hasattr(transformer, "set_epoch"):
+                transformer.set_epoch(epoch)
+
     def __getitem__(self, index: int) -> dict:
         example = self.get_example(index)
         if self._transformers is not None:
             for transformer in self._transformers:
-                example = transformer(example)
+                if getattr(transformer, "wants_index", False):
+                    example = transformer(example, index)
+                else:
+                    example = transformer(example)
         return example

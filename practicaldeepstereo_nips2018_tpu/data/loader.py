@@ -135,6 +135,11 @@ class Loader:
         return batch
 
     def __iter__(self) -> Iterator[dict]:
+        if hasattr(self._dataset, "set_epoch"):
+            # Transformers with per-(epoch, example) random state (seeded
+            # RandomCrop) need the epoch to vary their draws across epochs
+            # while staying bit-reproducible.
+            self._dataset.set_epoch(self._epoch)
         indices = self._epoch_indices()
         with concurrent.futures.ThreadPoolExecutor(
                 max_workers=self._num_workers) as pool:

@@ -47,17 +47,38 @@ class RandomCrop:
 
     Used to build uniform-size batches for data-parallel training (the
     reference trains batch-1 full-size and needs no such thing).
+
+    The crop position is deterministic in (seed, epoch, example index):
+    :class:`~..data.dataset.Dataset` passes the example index
+    (``wants_index``) and :class:`~..data.loader.Loader` propagates the
+    epoch — so training is bit-reproducible across runs and resumes, and
+    per-host crop streams are coordinated by construction (every host
+    derives the same crop for the same global example, whatever the loader
+    sharding). An explicitly supplied ``rng`` overrides the derived
+    seeding (legacy non-reproducible behavior).
     """
 
-    def __init__(self, height: int, width: int, rng: random.Random | None = None):
+    wants_index = True
+
+    def __init__(self, height: int, width: int,
+                 rng: random.Random | None = None, seed: int = 0):
         self._height = height
         self._width = width
-        self._rng = rng or random.Random()
+        self._rng = rng
+        self._seed = seed
+        self._epoch = 0
 
-    def __call__(self, example: dict) -> dict:
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __call__(self, example: dict, index: int = 0) -> dict:
+        rng = self._rng
+        if rng is None:
+            rng = random.Random(
+                (self._seed * 1_000_003 + self._epoch) * 1_000_003 + index)
         full_height, full_width = example["left"]["image"].shape[:2]
-        y_start = self._rng.randint(0, max(0, full_height - self._height))
-        x_start = self._rng.randint(0, max(0, full_width - self._width))
+        y_start = rng.randint(0, max(0, full_height - self._height))
+        x_start = rng.randint(0, max(0, full_width - self._width))
         return _crop_example(example, y_start, x_start, self._height,
                              self._width)
 

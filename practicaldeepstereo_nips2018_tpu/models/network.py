@@ -141,7 +141,8 @@ def apply(params: dict,
           left_image: jnp.ndarray,
           right_image: jnp.ndarray,
           config: PDSConfig = PDSConfig(),
-          compute_dtype=None) -> jnp.ndarray:
+          compute_dtype=None,
+          mesh=None) -> jnp.ndarray:
     """Forward pass: returns similarity scores (training-mode output).
 
     Args:
@@ -152,13 +153,18 @@ def apply(params: dict,
         config: static network configuration.
         compute_dtype: optional dtype (e.g. ``jnp.bfloat16``) the padded
             inputs are cast to; the output is cast back to the input dtype.
+        mesh: optional device mesh. When given, the folded cost volume is
+            explicitly pinned W-sharded over the ``volume`` axis at every
+            hourglass level (``regularization._constrain_folded``) — the
+            memory-scaling invariant, compiler-enforced rather than left to
+            GSPMD propagation through the reshape-heavy folded layouts.
 
     Returns:
         [B, H, W, (maximum_disparity+1)/2] similarities; index d along the
         last axis scores disparity ``2*d`` pixels.
     """
     similarities = apply_padded(params, left_image, right_image, config,
-                                compute_dtype)
+                                compute_dtype, mesh)
     similarities = similarities.astype(left_image.dtype)
     return pad_ops.unpad(similarities, left_image.shape[1],
                          left_image.shape[2], spatial_axes=(1, 2))
@@ -168,7 +174,8 @@ def apply_padded(params: dict,
                  left_image: jnp.ndarray,
                  right_image: jnp.ndarray,
                  config: PDSConfig = PDSConfig(),
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None,
+                 mesh=None) -> jnp.ndarray:
     """Forward pass WITHOUT the final crop: similarities at the padded
     resolution. The estimator is pixel-wise over the disparity axis, so
     inference applies it before cropping (exactly the reference's order,
@@ -206,14 +213,15 @@ def apply_padded(params: dict,
     return regularization.apply_folded(
         params["regularization"], folded_signatures,
         config.matching_maximum_disparity + 1, shortcut_from_left,
-        remat=config.remat, impl=config.folded_conv_impl)
+        remat=config.remat, impl=config.folded_conv_impl, mesh=mesh)
 
 
 def infer(params: dict,
           left_image: jnp.ndarray,
           right_image: jnp.ndarray,
           config: PDSConfig = PDSConfig(),
-          compute_dtype=None) -> jnp.ndarray:
+          compute_dtype=None,
+          mesh=None) -> jnp.ndarray:
     """Inference: similarities -> sub-pixel MAP disparity map [B, H, W].
 
     The estimator runs on the PADDED similarities and the crop comes last
@@ -222,7 +230,7 @@ def infer(params: dict,
     is avoided.
     """
     similarities = apply_padded(params, left_image, right_image, config,
-                                compute_dtype)
+                                compute_dtype, mesh)
     # XLA estimator: fused convert+reduce passes over the similarity volume
     # measure FASTER (2.1 ms vs 3.4 ms at 960x540xD96) than the Pallas
     # single-pass kernel (``ops/subpixel_pallas.py``), whose lane-axis

@@ -108,6 +108,13 @@ def cost_volume_spec() -> P:
     return P(DATA_AXIS, None, None, VOLUME_AXIS, None)
 
 
+def folded_volume_spec() -> P:
+    """[B, H, W, D*C] depth-FOLDED cost volume (the layout the network
+    actually executes, ``ops/folded3d.py``): W over ``volume``, the folded
+    (disparity, channel) lane axis unsharded."""
+    return P(DATA_AXIS, None, VOLUME_AXIS, None)
+
+
 def similarity_spec() -> P:
     """[B, H, W, D] similarities: disparity-last, W sharded."""
     return P(DATA_AXIS, None, VOLUME_AXIS, None)

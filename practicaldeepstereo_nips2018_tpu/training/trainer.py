@@ -68,6 +68,17 @@ class PDSTrainer:
                  compute_dtype=None,
                  mesh=None,
                  number_of_examples_to_visualize: int = 3):
+        if (training_set_loader is not None
+                and network_config.folded_conv_impl == "banded_pallas"):
+            # The Pallas slab kernel is forward-only (no VJP,
+            # ``ops/folded_banded.py``): jax.value_and_grad over it dies
+            # with an opaque Pallas AD error on the first train step —
+            # after the user has already paid dataset setup. Fail fast.
+            raise ValueError(
+                'folded_conv_impl="banded_pallas" is forward-only and '
+                "cannot be trained (no VJP); use \"banded_slab\" (same "
+                "numerics, measured equally fast) for training and keep "
+                "banded_pallas for inference/benchmarking only")
         self._config = network_config
         self._params = params
         self._training_set_loader = training_set_loader
@@ -111,8 +122,12 @@ class PDSTrainer:
     def _train_step(self, params, opt_state, left, right, ground_truth,
                     learning_rate):
         def loss_fn(p):
+            # mesh: pins the folded cost volume W-sharded over ``volume`` at
+            # every hourglass level (training batches are global arrays, so
+            # the constraint is valid even on cross-process meshes).
             similarities = models.apply(p, left, right, self._config,
-                                        self._compute_dtype)
+                                        self._compute_dtype,
+                                        mesh=self._mesh)
             return ops.subpixel_cross_entropy(
                 similarities, ground_truth,
                 diversity=self._loss_diversity,
@@ -135,7 +150,8 @@ class PDSTrainer:
         reference's per-image protocol — while occupying the whole mesh
         (a replicated batch-1 eval idles N-1 data rows)."""
         disparity = models.infer(params, left, right, self._config,
-                                 self._compute_dtype)
+                                 self._compute_dtype,
+                                 mesh=self._eval_mesh)
         error_map, three_pixels_error = jax.vmap(ops.n_pixels_error)(
             disparity, ground_truth)
         _, mean_absolute_error = jax.vmap(ops.absolute_error)(
@@ -145,7 +161,16 @@ class PDSTrainer:
     @functools.partial(jax.jit, static_argnums=0)
     def _infer_step(self, params, left, right):
         return models.infer(params, left, right, self._config,
-                            self._compute_dtype)
+                            self._compute_dtype,
+                            mesh=self._eval_mesh)
+
+    @property
+    def _eval_mesh(self):
+        """Mesh for the EVAL steps: cross-process eval runs host-local on
+        each host's own loader shard (see ``_place``), so a cross-process
+        mesh constraint would reference devices the host-local arrays
+        cannot live on — eval constraints only apply to local meshes."""
+        return None if self._mesh_spans_processes else self._mesh
 
     # ------------------------------------------------------------------
     # Checkpointing (contract of reference trainer.py:87-122)
@@ -272,6 +297,7 @@ class PDSTrainer:
             return {}, 0.0
         number_of_batches = len(self._test_set_loader)
         example_offset = 0  # running position in this host's example stream
+        warmed_shapes: set[tuple] = set()
         for batch_index, example in enumerate(self._test_set_loader):
             if _is_logging_required(batch_index, number_of_batches):
                 self._logger.log(
@@ -281,11 +307,15 @@ class PDSTrainer:
                                        number_of_batches))
             left, right, ground_truth = self._batch_arrays(example)
             batch_count = int(np.asarray(example["left"]["image"]).shape[0])
-            if batch_index == 0:
-                # Warm-up: the first call triggers jit compilation (tens of
-                # seconds), which must not pollute the reported per-image
-                # time — the reference's number is steady-state GPU time
-                # behind cuda.synchronize fences (``trainer.py:141-148``).
+            if left.shape not in warmed_shapes:
+                # Warm-up: the first call AT EACH BATCH SHAPE triggers jit
+                # compilation (tens of seconds), which must not pollute the
+                # reported per-image time — the reference's number is
+                # steady-state GPU time behind cuda.synchronize fences
+                # (``trainer.py:141-148``). Per-SHAPE, not just first batch:
+                # with eval_batch_size > 1 and a dataset size not divisible
+                # by it, the trailing ragged batch compiles a fresh program.
+                warmed_shapes.add(left.shape)
                 if ground_truth is None:
                     jax.block_until_ready(
                         self._infer_step(self._params, left, right))

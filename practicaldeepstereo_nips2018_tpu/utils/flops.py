@@ -129,7 +129,11 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
         # faster, ops/folded3d.py::conv_block3d_folded).
         if (folded_impl == "dense" or not banded_eligible
                 or (stride == 2 and not transposed)):
-            executed = pixels * taps * (d_in * cin) * (d_out * cout)
+            # Same 128-lane-tile convention as the banded branch below, so
+            # the dense-vs-banded executed-MFU comparison is apples to
+            # apples (K and N both ceil to physical MXU tiles).
+            executed = (pixels * taps * _lane_tiles(d_in * cin)
+                        * _lane_tiles(d_out * cout))
             return useful, executed
         # Banded slab: each 128-lane output group contracts ceil-to-128-tile
         # slab lanes (its depths + the kd-1 halo); partial last groups still

@@ -57,6 +57,17 @@ def parse_arguments():
     return parser.parse_args()
 
 
+def build_test_loader(test_set, eval_batch_size: int, num_workers: int):
+    """Host-SHARDED eval loader: on a pod each host benchmarks its own
+    disjoint shard and ``PDSTrainer._reduce_test_metrics`` reduces the
+    per-example metrics globally — evaluating the full set on every host
+    would cost N× pod time and race the submission PNG writes."""
+    return Loader(test_set, batch_size=eval_batch_size,
+                  num_workers=num_workers,
+                  host_index=jax.process_index(),
+                  host_count=jax.process_count())
+
+
 def main():
     args = parse_arguments()
     os.makedirs(args.experiment_folder, exist_ok=True)
@@ -76,8 +87,8 @@ def main():
     trainer = PDSTrainer(
         network_config=config,
         params=params,
-        test_set_loader=Loader(test_set, batch_size=args.eval_batch_size,
-                               num_workers=args.num_workers),
+        test_set_loader=build_test_loader(
+            test_set, args.eval_batch_size, args.num_workers),
         experiment_folder=os.path.abspath(args.experiment_folder),
         compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
         mesh=mesh)

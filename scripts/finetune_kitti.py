@@ -53,10 +53,28 @@ def parse_arguments():
     parser.add_argument("--bfloat16", action="store_true")
     parser.add_argument("--num_workers", type=int, default=3)
     parser.add_argument("--folded_conv_impl", default="banded_slab",
-                        choices=["dense", "banded_slab",
-                                 "banded_pallas"],
-                        help="hourglass conv execution (exact alternatives; banded_slab measured fastest on TPU v5e)")
+                        choices=["dense", "banded_slab"],
+                        help="hourglass conv execution (exact alternatives; "
+                        "banded_slab measured fastest on TPU v5e; the "
+                        "forward-only banded_pallas form is inference-only "
+                        "and lives in benchmark_flyingthings3d.py)")
     return parser.parse_args()
+
+
+def build_loaders(training_set, validation_set, batch_size: int,
+                  num_workers: int):
+    """Multi-host loader wiring; see train_flyingthings3d.build_loaders —
+    training in equal_shards lockstep (collective-deadlock safety),
+    validation host-sharded (disjoint shards, globally reduced metrics)."""
+    training_loader = Loader(
+        training_set, batch_size=batch_size, shuffle=True,
+        num_workers=num_workers, drop_last=batch_size > 1,
+        host_index=jax.process_index(), host_count=jax.process_count(),
+        equal_shards=True)
+    validation_loader = Loader(
+        validation_set, batch_size=1, num_workers=num_workers,
+        host_index=jax.process_index(), host_count=jax.process_count())
+    return training_loader, validation_loader
 
 
 def main():
@@ -80,16 +98,13 @@ def main():
     if args.mesh_data or args.mesh_volume > 1:
         mesh = make_mesh(data=args.mesh_data, volume=args.mesh_volume)
 
+    training_loader, validation_loader = build_loaders(
+        training_set, validation_set, args.batch_size, args.num_workers)
     trainer = PDSTrainer(
         network_config=config,
         params=params,
-        training_set_loader=Loader(
-            training_set, batch_size=args.batch_size, shuffle=True,
-            num_workers=args.num_workers, drop_last=args.batch_size > 1,
-            host_index=jax.process_index(),
-            host_count=jax.process_count()),
-        test_set_loader=Loader(validation_set, batch_size=1,
-                               num_workers=args.num_workers),
+        training_set_loader=training_loader,
+        test_set_loader=validation_loader,
         experiment_folder=os.path.abspath(args.experiment_folder),
         initial_learning_rate=args.learning_rate,
         learning_rate_milestones=(args.end_epoch // 2,),

@@ -60,10 +60,36 @@ def parse_arguments():
     parser.add_argument("--small_split", action="store_true",
                         help="use the 3000/300-example tuning split")
     parser.add_argument("--folded_conv_impl", default="banded_slab",
-                        choices=["dense", "banded_slab",
-                                 "banded_pallas"],
-                        help="hourglass conv execution (exact alternatives; banded_slab measured fastest on TPU v5e)")
+                        choices=["dense", "banded_slab"],
+                        help="hourglass conv execution (exact alternatives; "
+                        "banded_slab measured fastest on TPU v5e; the "
+                        "forward-only banded_pallas form is inference-only "
+                        "and lives in benchmark_flyingthings3d.py)")
     return parser.parse_args()
+
+
+def build_loaders(training_set, validation_set, batch_size: int,
+                  num_workers: int):
+    """CLI loader wiring for (possibly multi-host) training.
+
+    * The TRAINING loader runs in ``equal_shards`` lockstep mode: cross-
+      process mesh training requires every host to execute the same number
+      of collective train steps — an unequal host split (e.g. 2+1 over two
+      hosts) deadlocks the lagging host's collective (``data/loader.py``).
+    * The VALIDATION loader is host-SHARDED too: each host evaluates its
+      own disjoint shard and ``PDSTrainer._reduce_test_metrics`` makes the
+      metrics global — evaluating the full set on every host would cost
+      N× pod time (and race submission PNG writes on GT-less sets).
+    """
+    training_loader = Loader(
+        training_set, batch_size=batch_size, shuffle=True,
+        num_workers=num_workers, drop_last=batch_size > 1,
+        host_index=jax.process_index(), host_count=jax.process_count(),
+        equal_shards=True)
+    validation_loader = Loader(
+        validation_set, batch_size=1, num_workers=num_workers,
+        host_index=jax.process_index(), host_count=jax.process_count())
+    return training_loader, validation_loader
 
 
 def main():
@@ -82,8 +108,8 @@ def main():
             number_of_validation_examples=(
                 args.number_of_validation_examples))
         config = models.PDSConfig(
-        maximum_disparity=args.maximum_disparity,
-        folded_conv_impl=args.folded_conv_impl)
+            maximum_disparity=args.maximum_disparity,
+            folded_conv_impl=args.folded_conv_impl)
 
     if args.crop_height and args.crop_width:
         training_set.append_transformers(
@@ -93,12 +119,8 @@ def main():
     if args.mesh_data or args.mesh_volume > 1:
         mesh = make_mesh(data=args.mesh_data, volume=args.mesh_volume)
 
-    training_loader = Loader(
-        training_set, batch_size=args.batch_size, shuffle=True,
-        num_workers=args.num_workers, drop_last=args.batch_size > 1,
-        host_index=jax.process_index(), host_count=jax.process_count())
-    validation_loader = Loader(validation_set, batch_size=1,
-                               num_workers=args.num_workers)
+    training_loader, validation_loader = build_loaders(
+        training_set, validation_set, args.batch_size, args.num_workers)
 
     params = models.init(jax.random.PRNGKey(0), config)
     trainer = PDSTrainer(

@@ -194,6 +194,80 @@ def test_eval_timing_excludes_compilation(tmp_path):
     assert processing_time < 0.25
 
 
+def test_eval_warms_up_every_unseen_batch_shape(tmp_path):
+    """With eval_batch_size > 1 and a ragged final batch, the trailing
+    batch has a NEW shape and compiles a fresh program — its compilation
+    must be absorbed by an untimed warm-up too, not folded into the
+    reported per-image time (ADVICE r3)."""
+    import time as time_module
+
+    def batch(batch_size: int, seed: int) -> dict:
+        rng = np.random.RandomState(seed)
+        return {
+            "left": {
+                "image": rng.rand(batch_size, 16, 24, 3).astype(np.float32),
+                "disparity_image": rng.rand(batch_size, 16, 24).astype(
+                    np.float32),
+            },
+            "right": {
+                "image": rng.rand(batch_size, 16, 24, 3).astype(np.float32),
+            },
+        }
+
+    class RaggedLoader:
+        """5 examples at batch size 2: batches of 2, 2 and 1."""
+
+        def __len__(self):
+            return 3
+
+        def __iter__(self):
+            yield batch(2, 0)
+            yield batch(2, 1)
+            yield batch(1, 2)
+
+    config = models.PDSConfig(maximum_disparity=63)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=models.init(jax.random.PRNGKey(0), config),
+        test_set_loader=RaggedLoader(),
+        experiment_folder=str(tmp_path),
+        number_of_examples_to_visualize=0)
+
+    calls_per_shape: dict[tuple, int] = {}
+
+    def fake_eval_step(params, left, right, ground_truth):
+        shape = tuple(ground_truth.shape)
+        first_call = shape not in calls_per_shape
+        calls_per_shape[shape] = calls_per_shape.get(shape, 0) + 1
+        if first_call:  # "compilation" of this batch shape's program
+            time_module.sleep(0.4)
+        return (np.zeros(shape, np.float32), np.zeros(shape, np.float32),
+                np.zeros(shape[:1], np.float32),
+                np.zeros(shape[:1], np.float32))
+
+    trainer._eval_step = fake_eval_step
+    _, processing_time = trainer.test()
+    # Batch-2 shape: warm-up + 2 timed; batch-1 shape: warm-up + 1 timed.
+    assert calls_per_shape == {(2, 16, 24): 3, (1, 16, 24): 2}
+    assert processing_time < 0.2
+
+
+def test_trainer_rejects_forward_only_pallas_for_training(tmp_path):
+    """folded_conv_impl="banded_pallas" has no VJP: constructing a TRAINING
+    trainer with it must fail fast (not die in jax.value_and_grad after
+    dataset setup); inference-only trainers still accept it."""
+    config = models.PDSConfig(maximum_disparity=63,
+                              folded_conv_impl="banded_pallas")
+    params = models.init(jax.random.PRNGKey(0), config)
+    with pytest.raises(ValueError, match="forward-only"):
+        PDSTrainer(network_config=config, params=params,
+                   training_set_loader=object(),
+                   experiment_folder=str(tmp_path))
+    # Inference/benchmark-only construction stays allowed.
+    PDSTrainer(network_config=config, params=params,
+               experiment_folder=str(tmp_path))
+
+
 @pytest.mark.slow
 def test_trainer_load_only_network(tmp_path):
     config = models.PDSConfig(maximum_disparity=63)
