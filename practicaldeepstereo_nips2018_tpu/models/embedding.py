@@ -50,21 +50,38 @@ def init(key,
     return params
 
 
-def apply(params: dict, image: jnp.ndarray):
+def apply(params: dict, image: jnp.ndarray, s2d_front: bool = False):
     """Returns (descriptor [B, H/4, W/4, 64], shortcut [B, H/4, W/4, 8]).
 
     Args:
         image: [B, H, W, 3] image, raw 0..255 floats (the input instance norm
             standardizes each channel per sample, reference
             ``embedding.py:33``).
+        s2d_front: execute the first 5x5-stride-2 conv in its exact
+            space-to-depth form (``ops/spacetodepth.py``) — the full-
+            resolution 3-channel image is 42x lane-padded on TPU, the
+            half-resolution 12-channel phase image only 10.7x.
     """
     x = blocks.instance_norm(image)
-    x = _tower(params, x)
+    x = _tower(params, x, s2d_front)
     return x, blocks.conv_block(params["shortcut"], x)
 
 
-def _tower(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    x = blocks.conv_block(params["conv1"], x, stride=2)
+def _tower(params: dict, x: jnp.ndarray, s2d_front: bool = False
+           ) -> jnp.ndarray:
+    if s2d_front:
+        from practicaldeepstereo_nips2018_tpu.ops import spacetodepth
+        conv1 = params["conv1"]
+        phases = spacetodepth.space_to_depth(x)
+        kernel = spacetodepth.embed_conv5_kernel(conv1["conv"]["w"])
+        x = lax.conv_general_dilated(
+            phases, kernel.astype(phases.dtype), window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + conv1["conv"]["b"].astype(x.dtype)
+        x = blocks.instance_norm(blocks.leaky_relu(x), conv1["norm"])
+    else:
+        x = blocks.conv_block(params["conv1"], x, stride=2)
     x = blocks.conv_block(params["conv2"], x, stride=2)
     residual_count = sum(1 for name in params if name.startswith("residual"))
     for i in range(residual_count):

@@ -74,6 +74,11 @@ class PDSConfig:
     # the conv it saves (scripts/ab_eval_configs.py, r3). Kept as an exact
     # opt-in: the trade may flip on chips with higher FLOP:byte ratios.
     factor_tail_conv1: bool = False
+    # Execute the embedding's first 5x5-stride-2 conv in its exact
+    # space-to-depth form (``ops/spacetodepth.py``): the half-res
+    # 12-channel phase image reads 4x less lane-padded traffic than the
+    # full-res 3-channel image.
+    embedding_s2d: bool = False
 
     def __post_init__(self):
         validate_maximum_disparity(self.maximum_disparity)
@@ -196,8 +201,9 @@ def apply_padded(params: dict,
         right = right.astype(compute_dtype)
 
     left_descriptor, shortcut_from_left = embedding.apply(
-        params["embedding"], left)
-    right_descriptor, _ = embedding.apply(params["embedding"], right)
+        params["embedding"], left, s2d_front=config.embedding_s2d)
+    right_descriptor, _ = embedding.apply(
+        params["embedding"], right, s2d_front=config.embedding_s2d)
     # The matching -> regularization handoff stays in depth-FOLDED layout
     # end to end (lane order (disparity, channel)); the unfolded
     # [B, D, H, W, 8] tensor would tile 16x lane-padded (~400 MB at the

@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: full-size programs cost minutes to
+# compile through a TPU relay; re-runs must be free.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/pds_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from practicaldeepstereo_nips2018_tpu import models
 from practicaldeepstereo_nips2018_tpu.data import FlyingThings3D, Loader
 from practicaldeepstereo_nips2018_tpu.training import PDSTrainer

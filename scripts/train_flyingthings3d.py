@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: full-size programs cost minutes to
+# compile through a TPU relay; re-runs must be free.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/pds_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from practicaldeepstereo_nips2018_tpu import models
 from practicaldeepstereo_nips2018_tpu.data import FlyingThings3D, Loader
 from practicaldeepstereo_nips2018_tpu.data import transforms
@@ -45,6 +51,11 @@ def parse_arguments():
                         default=500)
     parser.add_argument("--end_epoch", type=int, default=10)
     parser.add_argument("--learning_rate", type=float, default=1e-2)
+    parser.add_argument("--learning_rate_milestones", type=int, nargs="*",
+                        default=None,
+                        help="epochs at which the rate halves (default: "
+                        "the reference's 6 7 8 9 10; pass with no values "
+                        "for a constant rate)")
     parser.add_argument("--batch_size", type=int, default=1,
                         help="per-host batch size (data parallelism)")
     parser.add_argument("--crop_height", type=int, default=None,
@@ -130,6 +141,9 @@ def main():
         test_set_loader=validation_loader,
         experiment_folder=os.path.abspath(args.experiment_folder),
         initial_learning_rate=args.learning_rate,
+        **({} if args.learning_rate_milestones is None
+           else {"learning_rate_milestones":
+                 tuple(args.learning_rate_milestones)}),
         end_epoch=args.end_epoch,
         compute_dtype=jnp.bfloat16 if args.bfloat16 else None,
         mesh=mesh)

@@ -157,3 +157,44 @@ def test_init_shapes_and_scale():
     tparams = blocks.init_conv_transpose(jax.random.PRNGKey(1), 4, 8, 4,
                                          spatial_dims=3)
     assert tparams["w"].shape == (4, 4, 4, 8, 4)
+
+
+def test_space_to_depth_conv_matches_direct_5x5_stride2():
+    """The s2d form of the embedding's first conv is EXACT: 5x5-stride-2-
+    pad-2 on the image == 3x3-stride-1-pad-1 of the embedded kernel on the
+    2x2 phase image, including at the zero-padded borders (the pad is even,
+    so phases align; ``ops/spacetodepth.py``)."""
+    from jax import lax
+
+    from practicaldeepstereo_nips2018_tpu.ops import spacetodepth
+
+    rng = np.random.RandomState(3)
+    image = jnp.asarray(rng.randn(2, 16, 20, 3).astype(np.float32))
+    weight = jnp.asarray(rng.randn(5, 5, 3, 64).astype(np.float32))
+
+    direct = lax.conv_general_dilated(
+        image, weight, window_strides=(2, 2), padding=[(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    phases = spacetodepth.space_to_depth(image)
+    embedded = spacetodepth.embed_conv5_kernel(weight)
+    via_s2d = lax.conv_general_dilated(
+        phases, embedded, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(via_s2d), np.asarray(direct),
+                               atol=1e-4)
+
+
+def test_embedding_s2d_front_matches_plain():
+    """The s2d execution flag changes nothing numerically at the embedding
+    level (descriptor AND shortcut)."""
+    from practicaldeepstereo_nips2018_tpu.models import embedding
+
+    params = embedding.init(jax.random.PRNGKey(0))
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 48, 3)) * 255.0
+    descriptor, shortcut = embedding.apply(params, image)
+    descriptor_s2d, shortcut_s2d = embedding.apply(params, image,
+                                                   s2d_front=True)
+    np.testing.assert_allclose(np.asarray(descriptor_s2d),
+                               np.asarray(descriptor), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(shortcut_s2d),
+                               np.asarray(shortcut), atol=2e-4)

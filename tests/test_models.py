@@ -188,3 +188,29 @@ def test_remat_config_matches_values():
         for a, b in zip(jax.tree.leaves(grads_base),
                         jax.tree.leaves(grads_remat)))
     assert worst < 1e-4, worst
+
+
+def test_embedding_s2d_config_matches_values():
+    """PDSConfig(embedding_s2d=True) is an exact execution alternative:
+    same similarities and same gradients as the default front-end."""
+    config = network.PDSConfig(maximum_disparity=63, embedding_s2d=True)
+    baseline = network.PDSConfig(maximum_disparity=63)
+    params = network.init(jax.random.PRNGKey(0), baseline)
+    left = jax.random.uniform(jax.random.PRNGKey(1), (1, 62, 70, 3)) * 255
+    right = jax.random.uniform(jax.random.PRNGKey(2), (1, 62, 70, 3)) * 255
+    gt = jax.random.uniform(jax.random.PRNGKey(3), (1, 62, 70)) * 40.0
+
+    from practicaldeepstereo_nips2018_tpu import ops as pds_ops
+
+    def loss(p, cfg):
+        return pds_ops.subpixel_cross_entropy(
+            network.apply(p, left, right, cfg), gt)
+
+    value_base, grads_base = jax.value_and_grad(loss)(params, baseline)
+    value_s2d, grads_s2d = jax.value_and_grad(loss)(params, config)
+    assert np.isclose(float(value_base), float(value_s2d), atol=1e-5)
+    worst = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(grads_base),
+                        jax.tree.leaves(grads_s2d)))
+    assert worst < 1e-3, worst

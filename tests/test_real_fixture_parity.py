@@ -279,3 +279,58 @@ def test_benchmark_evaluation_matches_reference(fixture_copies, tmp_path):
                                np.mean(reference_maes), atol=2e-2)
     np.testing.assert_allclose(errors["three_pixels_error"],
                                np.mean(reference_3pes), atol=0.1)
+
+
+@pytest.mark.slow
+def test_full_size_benchmark_evaluation_matches_reference(fixture_copies,
+                                                          tmp_path):
+    """The EXACT published protocol shape: one uncropped 960x540 fixture
+    example at maximum disparity 191 (``benchmark_on_flyingthings3d.py``'s
+    defaults behind the 1.04 px / 3.09 % / 0.62 s table,
+    ``README.md:35-42``) through both stacks with identical weights.
+
+    The 192x320-crop test above pins the protocol logic cheaply; this pins
+    the full-resolution geometry — the 64-rule padding 540->576, the
+    quarter-scale 48-level cost volume, and full-size masking (GT > 192
+    px -> inf) — where a stride/pad asymmetry bug would shift disparities
+    without ever failing a cropped test. One example only: the torch CPU
+    reference needs minutes at this size."""
+    torch.manual_seed(11)
+    reference_net = reference_network.PdsNetwork.default(
+        maximum_disparity=191)
+    reference_net.eval()
+    state = {key: value.detach().numpy()
+             for key, value in reference_net.state_dict().items()}
+    params = torch_import.params_from_torch_state_dict(state)
+
+    # The published benchmark protocol: PSM keeps every TEST example and
+    # masks ground truth above 192 px (reference defaults).
+    reference_benchmark = (
+        reference_flyingthings3d.FlyingThings3D.benchmark_dataset(
+            fixture_copies[("reference", "flyingthings3d")],
+            is_psm_protocol=True))
+    example = reference_benchmark[0]
+    assert example["left"]["image"].shape[-2:] == (540, 960)
+    with torch.no_grad():
+        disparity = reference_net(example["left"]["image"].unsqueeze(0),
+                                  example["right"]["image"].unsqueeze(0))
+    ground_truth = example["left"]["disparity_image"].unsqueeze(0)
+    _, reference_mae = reference_errors.compute_absolute_error(disparity,
+                                                               ground_truth)
+    _, reference_3pe = reference_errors.compute_n_pixels_error(disparity,
+                                                               ground_truth)
+
+    benchmark = FlyingThings3D.benchmark_dataset(
+        fixture_copies[("ours", "flyingthings3d")], is_psm_protocol=True)
+    first_only, _ = benchmark.split_in_two(1)
+    trainer = PDSTrainer(
+        network_config=models.PDSConfig(maximum_disparity=191),
+        params=params,
+        test_set_loader=Loader(first_only, batch_size=1, num_workers=1),
+        experiment_folder=str(tmp_path))
+    errors, _ = trainer.test()
+
+    np.testing.assert_allclose(errors["mean_absolute_error"],
+                               float(reference_mae), atol=2e-2)
+    np.testing.assert_allclose(errors["three_pixels_error"],
+                               float(reference_3pe), atol=0.1)
