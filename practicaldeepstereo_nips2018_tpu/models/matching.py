@@ -159,11 +159,52 @@ def _pair_tail_params(params: dict) -> dict:
     return paired
 
 
+def _quantized_conv(conv_params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 x int8 -> int32 execution of a 3x3 conv (inference only).
+
+    v5e executes s8xs8 matmuls at 2x the bf16 MXU rate; the paired tail is
+    measured AT its bf16 roofline (77% executed-MFU, module docstring), so
+    int8 is the only >1.5x lever left on it. Quantization: symmetric
+    per-OUTPUT-CHANNEL weight scales (static given params) and a symmetric
+    per-tensor dynamic activation scale (one max-abs reduction — fused by
+    XLA into the producing pass). Biases and the surrounding
+    leaky/norm/residual arithmetic stay in the activation dtype, so the
+    only approximation is the 8-bit rounding of the conv operands.
+    """
+    weight, bias = conv_params["w"], conv_params["b"]
+    weight_scale = (jnp.max(jnp.abs(weight), axis=(0, 1, 2))
+                    .astype(jnp.float32) / 127.0 + 1e-30)
+    weight_q = jnp.round(weight.astype(jnp.float32)
+                         / weight_scale).astype(jnp.int8)
+    x_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-30
+    x_q = jnp.round(x.astype(jnp.float32) / x_scale).astype(jnp.int8)
+    out = jax.lax.conv_general_dilated(
+        x_q, weight_q, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * (weight_scale * x_scale)
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _quantized_conv_block(block_params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return blocks.instance_norm(
+        blocks.leaky_relu(_quantized_conv(block_params["conv"], x)),
+        block_params["norm"])
+
+
+def _quantized_residual_block(block_params: dict,
+                              x: jnp.ndarray) -> jnp.ndarray:
+    return _quantized_conv_block(
+        block_params["block2"],
+        _quantized_conv_block(block_params["block1"], x)) + x
+
+
 def apply_folded(params: dict,
                  left_descriptor: jnp.ndarray,
                  right_descriptor: jnp.ndarray,
                  maximum_disparity: int,
-                 factor_conv1: bool = True) -> jnp.ndarray:
+                 factor_conv1: bool = True,
+                 tail_int8: bool = False) -> jnp.ndarray:
     """Matching signatures directly in depth-FOLDED layout.
 
     Returns [B, H/4, W/4, (D+1)*8] — lane order (disparity, channel), i.e.
@@ -178,6 +219,10 @@ def apply_folded(params: dict,
     norm of the reference (each of the 128 lanes belongs to exactly one
     disparity). Falls back to :func:`apply` + fold for odd disparity counts
     (only reachable in hand-built test configs).
+
+    ``tail_int8``: run the tail's convs quantized (:func:`_quantized_conv`)
+    — an opt-in INFERENCE mode (``PDSConfig.matching_tail_int8``); the
+    trainer rejects it for training (round-to-int8 has zero gradient).
     """
     if (maximum_disparity + 1) % 2:
         from practicaldeepstereo_nips2018_tpu.ops import folded3d
@@ -213,9 +258,14 @@ def apply_folded(params: dict,
         x = paired_volume.reshape(batch * num_pairs, height, width, lanes)
         first_residual = 0
 
+    residual_fn = (_quantized_residual_block if tail_int8
+                   else blocks.residual_block)
     for i in range(first_residual, residual_count):
-        x = blocks.residual_block(paired_params[f"residual{i + 1}"], x)
-    x = blocks.conv(paired_params["tail"], x)
+        x = residual_fn(paired_params[f"residual{i + 1}"], x)
+    if tail_int8:
+        x = _quantized_conv(paired_params["tail"], x)
+    else:
+        x = blocks.conv(paired_params["tail"], x)
     # [B*P, H, W, 16] -> folded [B, H, W, P*16]; lane index
     # p*16 + m*8 + c == disparity*8 + c — the fold order.
     signatures = x.reshape(batch, num_pairs, height, width, x.shape[-1])

@@ -79,6 +79,13 @@ class PDSConfig:
     # 12-channel phase image reads 4x less lane-padded traffic than the
     # full-res 3-channel image.
     embedding_s2d: bool = False
+    # INFERENCE-ONLY: run the matching tail's convolutions int8-quantized
+    # (``models/matching.py::_quantized_conv``; v5e int8 peak is 2x bf16
+    # and the tail sits at its bf16 roofline). Approximate — never a
+    # default; accuracy measured on the real-fixture eval path
+    # (``tests/test_real_fixture_parity.py``). The trainer rejects it for
+    # training (round-to-int8 has zero gradient).
+    matching_tail_int8: bool = False
 
     def __post_init__(self):
         validate_maximum_disparity(self.maximum_disparity)
@@ -211,7 +218,8 @@ def apply_padded(params: dict,
     matching_fn = functools.partial(
         matching.apply_folded,
         maximum_disparity=config.matching_maximum_disparity,
-        factor_conv1=config.factor_tail_conv1)
+        factor_conv1=config.factor_tail_conv1,
+        tail_int8=config.matching_tail_int8)
     if config.remat:
         matching_fn = jax.checkpoint(matching_fn)
     folded_signatures = matching_fn(params["matching"], left_descriptor,

@@ -79,6 +79,14 @@ class PDSTrainer:
                 "cannot be trained (no VJP); use \"banded_slab\" (same "
                 "numerics, measured equally fast) for training and keep "
                 "banded_pallas for inference/benchmarking only")
+        if (training_set_loader is not None
+                and network_config.matching_tail_int8):
+            # round-to-int8 has zero gradient: training would silently
+            # freeze the matching tail. Inference/benchmark only.
+            raise ValueError(
+                "matching_tail_int8 is an inference-only approximation "
+                "(round-to-int8 has zero gradient); train in "
+                "bf16/float32 and enable int8 for eval/benchmark only")
         self._config = network_config
         self._params = params
         self._training_set_loader = training_set_loader

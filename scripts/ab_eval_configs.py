@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """A/B the eval forward across optimization flags (regression hunt).
 
-Times ``models.infer`` end-to-end (bench.py methodology) for each
-(folded_conv_impl, factor_tail_conv1) combination to attribute composed-
-program regressions that per-stage profiling cannot see.
+Times ``models.infer`` end-to-end (bench.py methodology) for named
+``PDSConfig`` variants to attribute composed-program effects that per-stage
+profiling cannot see — isolation microbenches LIE about composed programs
+(round-3 measurements: two isolation wins each cost +2-4 ms composed).
+
+Usage:
+    python scripts/ab_eval_configs.py                    # default variants
+    python scripts/ab_eval_configs.py --variants baseline s2d int8
 """
 
+import argparse
 import os
 import statistics
 import sys
@@ -26,12 +32,23 @@ from practicaldeepstereo_nips2018_tpu import models  # noqa: E402
 HEIGHT, WIDTH = 540, 960
 SHORT, LONG, REPEATS = 5, 45, 5
 
+# Named composed-eval variants (all exact except the int8 ones, which are
+# the documented approximate inference mode).
+VARIANTS = {
+    "baseline": dict(folded_conv_impl="banded_slab"),
+    "dense": dict(folded_conv_impl="dense"),
+    "factor_conv1": dict(folded_conv_impl="banded_slab",
+                         factor_tail_conv1=True),
+    "s2d": dict(folded_conv_impl="banded_slab", embedding_s2d=True),
+    "int8": dict(folded_conv_impl="banded_slab", matching_tail_int8=True),
+    "s2d_int8": dict(folded_conv_impl="banded_slab", embedding_s2d=True,
+                     matching_tail_int8=True),
+}
+DEFAULT_VARIANTS = ("baseline", "dense", "factor_conv1", "s2d", "int8",
+                    "s2d_int8")
 
-def timed_config(impl, factor, params, left, right):
-    config = models.PDSConfig(maximum_disparity=191,
-                              folded_conv_impl=impl,
-                              factor_tail_conv1=factor)
 
+def timed_config(config, params, left, right):
     @jax.jit
     def run(params, left, right, iterations):
         def body(_, carry):
@@ -54,17 +71,23 @@ def timed_config(impl, factor, params, left, right):
 
 
 def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--variants", nargs="*", default=DEFAULT_VARIANTS,
+                        choices=sorted(VARIANTS))
+    args = parser.parse_args()
+
     config = models.PDSConfig(maximum_disparity=191)
     params = models.init(jax.random.PRNGKey(0), config)
     key_left, key_right = jax.random.split(jax.random.PRNGKey(1))
     left = jax.random.uniform(key_left, (1, HEIGHT, WIDTH, 3)) * 255.0
     right = jax.random.uniform(key_right, (1, HEIGHT, WIDTH, 3)) * 255.0
 
-    for impl in ("dense", "banded_slab"):
-        for factor in (False, True):
-            seconds = timed_config(impl, factor, params, left, right)
-            print(f"impl={impl:12s} factor_conv1={factor}: "
-                  f"{seconds * 1e3:7.3f} ms", flush=True)
+    for name in args.variants:
+        variant = models.PDSConfig(maximum_disparity=191,
+                                   **VARIANTS[name])
+        seconds = timed_config(variant, params, left, right)
+        print(f"{name:14s} {VARIANTS[name]}: {seconds * 1e3:7.3f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,11 @@ def parse_arguments():
                         choices=["dense", "banded_slab",
                                  "banded_pallas"],
                         help="hourglass conv execution (exact alternatives; banded_slab measured fastest on TPU v5e)")
+    parser.add_argument("--matching_tail_int8", action="store_true",
+                        help="int8-quantized matching tail (APPROXIMATE "
+                        "inference mode, ~2x MXU rate on the tail; "
+                        "measure the accuracy delta before trusting "
+                        "results)")
     return parser.parse_args()
 
 
@@ -82,7 +87,8 @@ def main():
         args.dataset_folder, is_psm_protocol=args.is_psm_protocol)
     config = models.PDSConfig(
         maximum_disparity=args.maximum_disparity,
-        folded_conv_impl=args.folded_conv_impl)
+        folded_conv_impl=args.folded_conv_impl,
+        matching_tail_int8=args.matching_tail_int8)
     params = models.init(jax.random.PRNGKey(0), config)
 
     mesh = None

@@ -143,6 +143,50 @@ def bench_norms():
           f"{(t_with-t_without)*1e3:8.3f} ms")
 
 
+def bench_hourglass_norms():
+    """Hourglass core with vs without instance norms — the fusion upper
+    bound on the regularization side (VERDICT r3 perf ask #1)."""
+    from practicaldeepstereo_nips2018_tpu.models import regularization
+    from practicaldeepstereo_nips2018_tpu.ops import folded3d
+
+    depth = 48
+    params = jax.tree.map(
+        lambda p: p.astype(DTYPE),
+        regularization.init(jax.random.PRNGKey(0)))
+    folded = jax.random.normal(jax.random.PRNGKey(1),
+                               (1, HEIGHT, WIDTH, depth * 8), DTYPE)
+    shortcut = jax.random.normal(jax.random.PRNGKey(2),
+                                 (1, HEIGHT, WIDTH, 8), DTYPE)
+
+    def core(x):
+        return regularization.hourglass_core(params, x, depth, shortcut,
+                                             impl="banded_slab")[0]
+
+    t_core = slope(core, folded)
+    print(f"hourglass core (banded_slab):         {t_core*1e3:8.3f} ms")
+
+    real_norm = folded3d.instance_norm_folded
+
+    def no_norm(x, depth_, norm_params=None):
+        # Affine-only stand-in: keeps tensor shapes/dtypes and the affine
+        # multiply, drops the moment reduction + apply passes.
+        if norm_params is None:
+            return x
+        channels = norm_params["scale"].shape[0]
+        scale = jnp.tile(norm_params["scale"], depth_).astype(x.dtype)
+        bias = jnp.tile(norm_params["bias"], depth_).astype(x.dtype)
+        return x * scale + bias
+
+    folded3d.instance_norm_folded = no_norm
+    try:
+        t_no_norm = slope(core, folded)
+    finally:
+        folded3d.instance_norm_folded = real_norm
+    print(f"hourglass core without norms:         {t_no_norm*1e3:8.3f} ms")
+    print(f"=> perfect-fusion upper bound:        "
+          f"{(t_core-t_no_norm)*1e3:8.3f} ms")
+
+
 def bench_s2d():
     height, width = 576, 960
     image = jax.random.normal(jax.random.PRNGKey(0),
@@ -189,6 +233,7 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--norms", action="store_true")
+    parser.add_argument("--hourglass_norms", action="store_true")
     parser.add_argument("--s2d", action="store_true")
     args = parser.parse_args()
     print("device:", jax.devices()[0].device_kind)
@@ -196,6 +241,8 @@ def main():
         bench_int8()
     if args.norms:
         bench_norms()
+    if args.hourglass_norms:
+        bench_hourglass_norms()
     if args.s2d:
         bench_s2d()
 

@@ -52,6 +52,12 @@ def parse_arguments():
     parser.add_argument("--maximum_disparity", type=int, default=191,
                         help="the published benchmark protocol range "
                         "(fixture GT tops out at 152 px)")
+    parser.add_argument("--phase2_epochs", type=int, default=100,
+                        help="decay phase: additional epochs at "
+                        "--phase2_learning_rate (the 1e-3 plateau "
+                        "oscillates — measured loss spikes at ~130 "
+                        "epochs; a cold decay phase squeezes it)")
+    parser.add_argument("--phase2_learning_rate", type=float, default=2e-4)
     parser.add_argument("--work_folder", default=None,
                         help="defaults to a temp dir")
     return parser.parse_args()
@@ -114,19 +120,31 @@ def main():
     if not os.path.isdir(dataset):
         build_dataset_tree(dataset)
 
-    run_cli("train_flyingthings3d.py", [
+    common = [
         "--dataset_folder", dataset,
         "--experiment_folder", experiment,
         "--maximum_disparity", str(args.maximum_disparity),
         "--number_of_validation_examples", "0",
-        "--end_epoch", str(args.end_epoch),
-        "--learning_rate", str(args.learning_rate),
         "--learning_rate_milestones",
         "--bfloat16",
         "--num_workers", "2",
-    ])
+    ]
+    phase1_checkpoint = os.path.join(experiment,
+                                     f"{args.end_epoch:03d}_checkpoint.npz")
+    if not os.path.isfile(phase1_checkpoint):
+        run_cli("train_flyingthings3d.py", common + [
+            "--end_epoch", str(args.end_epoch),
+            "--learning_rate", str(args.learning_rate),
+        ])
+    final_epoch = args.end_epoch + args.phase2_epochs
+    if args.phase2_epochs:
+        run_cli("train_flyingthings3d.py", common + [
+            "--checkpoint_file", phase1_checkpoint,
+            "--end_epoch", str(final_epoch),
+            "--learning_rate", str(args.phase2_learning_rate),
+        ])
     checkpoint = os.path.join(experiment,
-                              f"{args.end_epoch:03d}_checkpoint.npz")
+                              f"{final_epoch:03d}_checkpoint.npz")
     stdout = run_cli("benchmark_flyingthings3d.py", [
         "--dataset_folder", dataset,
         "--experiment_folder", benchmark_folder,
@@ -151,9 +169,11 @@ def main():
                  "benchmark_flyingthings3d.py, PSM protocol)"),
         "device": jax.devices()[0].device_kind,
         "maximum_disparity": args.maximum_disparity,
-        "epochs": args.end_epoch,
-        "steps": 4 * args.end_epoch,
+        "epochs": final_epoch,
+        "steps": 4 * final_epoch,
         "learning_rate": args.learning_rate,
+        "phase2": {"epochs": args.phase2_epochs,
+                   "learning_rate": args.phase2_learning_rate},
         "training_loss_first": losses[0] if losses else None,
         "training_loss_last": losses[-1] if losses else None,
         "training_losses_every_10_epochs": losses[::10],
@@ -164,7 +184,10 @@ def main():
                  "— the full dataset is unavailable; the artifact proves "
                  "the end-to-end CLI loop (real decode -> full-size bf16 "
                  "train -> checkpoint -> published-protocol eval) learns "
-                 "on real images"),
+                 "on real images. benchmark_time_per_image_s is "
+                 "per-dispatch host wall-clock through the TPU relay "
+                 "(~25 ms/dispatch, non-pipelining) — bench.py's "
+                 "device-loop slope is the timing authority"),
     }
     with open(args.output, "w") as handle:
         json.dump(artifact, handle, indent=2)

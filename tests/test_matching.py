@@ -173,3 +173,21 @@ def test_apply_folded_matches_apply():
         assert folded.shape == reference.shape
         assert np.allclose(np.asarray(folded), np.asarray(reference),
                            atol=1e-4), f"D={maximum_disparity}"
+
+
+def test_int8_tail_close_to_float():
+    """The int8-quantized tail is an approximation; at the matching-stage
+    level its folded signatures must stay close to the float path (the
+    accuracy contract on REAL data is pinned end-to-end in
+    ``tests/test_real_fixture_parity.py::test_int8_eval_accuracy``)."""
+    params = matching.init(jax.random.PRNGKey(0))
+    key_l, key_r = jax.random.split(jax.random.PRNGKey(1))
+    left = jax.random.normal(key_l, (1, 16, 24, 64))
+    right = jax.random.normal(key_r, (1, 16, 24, 64))
+
+    exact = matching.apply_folded(params, left, right, 7)
+    quantized = matching.apply_folded(params, left, right, 7,
+                                      tail_int8=True)
+    difference = np.abs(np.asarray(exact) - np.asarray(quantized))
+    scale = np.abs(np.asarray(exact)).max()
+    assert difference.max() / scale < 0.1, (difference.max(), scale)

@@ -282,6 +282,48 @@ def test_benchmark_evaluation_matches_reference(fixture_copies, tmp_path):
 
 
 @pytest.mark.slow
+def test_int8_eval_accuracy_on_real_fixtures(fixture_copies, tmp_path):
+    """The opt-in int8 matching tail's accuracy contract, measured on REAL
+    images through the full eval path (never synthetic — VERDICT r3 #6):
+    identical weights evaluated float vs ``matching_tail_int8`` must agree
+    to a small fraction of a pixel in MAE and a fraction of a percent in
+    3PE."""
+    torch.manual_seed(7)
+    reference_net = reference_network.PdsNetwork.default(
+        maximum_disparity=MAXIMUM_DISPARITY)
+    state = {key: value.detach().numpy()
+             for key, value in reference_net.state_dict().items()}
+    params = torch_import.params_from_torch_state_dict(state)
+
+    protocol_arguments = dict(
+        is_psm_protocol=True, maximum_disparity=63,
+        maximum_percentage_of_large_disparities=10.0, large_disparity=80)
+    benchmark = FlyingThings3D.benchmark_dataset(
+        fixture_copies[("ours", "flyingthings3d")], **protocol_arguments)
+    benchmark.append_transformers(
+        [transforms.CentralCrop(CROP_HEIGHT, CROP_WIDTH)])
+
+    def evaluate(int8: bool, folder: str):
+        trainer = PDSTrainer(
+            network_config=models.PDSConfig(
+                maximum_disparity=MAXIMUM_DISPARITY,
+                matching_tail_int8=int8),
+            params=params,
+            test_set_loader=Loader(benchmark, batch_size=1, num_workers=1),
+            experiment_folder=str(tmp_path / folder))
+        return trainer.test()[0]
+
+    float_errors = evaluate(False, "float")
+    int8_errors = evaluate(True, "int8")
+    mae_delta = abs(int8_errors["mean_absolute_error"]
+                    - float_errors["mean_absolute_error"])
+    three_pe_delta = abs(int8_errors["three_pixels_error"]
+                         - float_errors["three_pixels_error"])
+    assert mae_delta < 0.1, (float_errors, int8_errors)
+    assert three_pe_delta < 0.5, (float_errors, int8_errors)
+
+
+@pytest.mark.slow
 def test_full_size_benchmark_evaluation_matches_reference(fixture_copies,
                                                           tmp_path):
     """The EXACT published protocol shape: one uncropped 960x540 fixture

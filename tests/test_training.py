@@ -308,3 +308,16 @@ def test_benchmark_without_ground_truth_exports_submission(tmp_path):
     decoded = cv2.imread(submission, cv2.IMREAD_UNCHANGED)
     assert decoded.dtype == np.uint16
     assert decoded.shape == (fixtures.HEIGHT, fixtures.WIDTH)
+
+
+def test_trainer_rejects_int8_tail_for_training(tmp_path):
+    """matching_tail_int8 is inference-only (round has zero gradient)."""
+    config = models.PDSConfig(maximum_disparity=63,
+                              matching_tail_int8=True)
+    params = models.init(jax.random.PRNGKey(0), config)
+    with pytest.raises(ValueError, match="inference-only"):
+        PDSTrainer(network_config=config, params=params,
+                   training_set_loader=object(),
+                   experiment_folder=str(tmp_path))
+    PDSTrainer(network_config=config, params=params,
+               experiment_folder=str(tmp_path))
