@@ -41,6 +41,24 @@ measured tail MFU 77% of bf16 peak on executed MACs):
 * Conclusion: ~6.5 ms at 77% executed-MFU is this tail's practical floor
   on v5e without changing numerics (e.g. int8). The useful-MAC floor
   (3.3 ms) is unreachable by re-tiling alone.
+
+Round-4 measurements closing the two remaining levers (both kept in-tree
+as tested opt-ins / documented negatives, scripts/microbench_r4_candidates
++ scripts/ab_eval_configs):
+
+* int8 (``_quantized_conv``): XLA:TPU's s8xs8->s32 conv only reaches
+  1.19x the bf16 conv at the tail shape (1.188 -> 0.994 ms — far from the
+  2x MXU peak), the quantize pass adds 0.151 ms per conv input, and the
+  int8/int32 boundary breaks the conv-chain fusion — composed eval
+  21.75 ms vs 20.03 baseline. Opt-in (``PDSConfig.matching_tail_int8``),
+  inference-only, accuracy pinned on the real fixtures.
+* Instance-norm fusion into conv epilogues: NO prize — the paired tail
+  measures FASTER with its 4 norms (6.19 ms) than with them removed
+  (7.01 ms): XLA already fuses the moment/apply passes into the
+  surrounding convs, and removing them merely rearranges fusions. A
+  Pallas conv+stats epilogue kernel has nothing to reclaim here (and the
+  hourglass-side bound is 0.45 ms total, below Pallas engineering noise —
+  r3 measured Pallas slab == XLA slab).
 """
 
 from __future__ import annotations

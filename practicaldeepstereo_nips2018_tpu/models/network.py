@@ -77,14 +77,24 @@ class PDSConfig:
     # Execute the embedding's first 5x5-stride-2 conv in its exact
     # space-to-depth form (``ops/spacetodepth.py``): the half-res
     # 12-channel phase image reads 4x less lane-padded traffic than the
-    # full-res 3-channel image.
+    # full-res 3-channel image. Default OFF — MEASURED NEGATIVE on v5e
+    # (r4): the conv itself halves (0.51 -> 0.25 ms) but the phase
+    # relayout pass costs ~0.8 ms (it reads the 42x-lane-padded image AND
+    # writes a 10.7x-padded one, while XLA otherwise fuses pad+cast+norm
+    # straight into the conv); composed eval 20.44 vs 20.03 ms
+    # (scripts/microbench_r4_candidates.py --s2d, ab_eval_configs.py).
+    # Kept as an exact opt-in: wins where the front-end cannot fuse.
     embedding_s2d: bool = False
     # INFERENCE-ONLY: run the matching tail's convolutions int8-quantized
     # (``models/matching.py::_quantized_conv``; v5e int8 peak is 2x bf16
     # and the tail sits at its bf16 roofline). Approximate — never a
     # default; accuracy measured on the real-fixture eval path
     # (``tests/test_real_fixture_parity.py``). The trainer rejects it for
-    # training (round-to-int8 has zero gradient).
+    # training (round-to-int8 has zero gradient). MEASURED NEGATIVE for
+    # SPEED on v5e (r4): the per-conv quantize pass + broken conv-chain
+    # fusion cost more than the 2x MXU rate saves — composed eval 21.75
+    # vs 20.03 ms (ab_eval_configs.py). Kept for memory-constrained or
+    # higher-int8-ratio deployments.
     matching_tail_int8: bool = False
 
     def __post_init__(self):

@@ -22,6 +22,15 @@ only selects the execution form.
 
 Requires even H, W — guaranteed inside the network, which pads to
 multiples of 64 first (``ops/pad.py``).
+
+MEASURED NEGATIVE RESULT on v5e (r4, ``scripts/microbench_r4_candidates.py
+--s2d`` + composed ``ab_eval_configs.py``): the conv itself halves (0.511
+-> 0.245 ms at 576x960) but the phase relayout costs ~0.8 ms — it reads
+the 42x-lane-padded image AND writes a 10.7x-padded phase tensor, while
+XLA otherwise fuses pad+cast+input-norm directly into the first conv's
+passes. Composed eval: 20.44 ms vs 20.03 baseline. Kept as an exact,
+tested opt-in (``PDSConfig.embedding_s2d``) for front-ends that cannot
+fuse (e.g. when the image arrives pre-normalized from another program).
 """
 
 from __future__ import annotations

@@ -89,29 +89,33 @@ def bench_int8():
     w_q = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
     x_scale = jnp.asarray(6.0 / 127.0, jnp.float32)  # static clip at 6 sigma
 
-    def conv_int8_from_int8(x_q):
-        out = lax.conv_general_dilated(
-            x_q, w_q, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-        return out
+    def quantize(x):
+        return jnp.clip(jnp.round(x * (1.0 / x_scale).astype(DTYPE)),
+                        -127, 127).astype(jnp.int8)
 
-    x_q = jnp.clip(jnp.round(x / x_scale.astype(DTYPE)), -127, 127).astype(
-        jnp.int8)
-    t_int8 = slope(conv_int8_from_int8, x_q)
-    print(f"int8 conv (quantized operands):       {t_int8*1e3:8.3f} ms")
+    # NOTE: an int8-INPUT variant cannot be slope-timed here — the carried
+    # float perturbation truncates to exactly zero in int8, the loop body
+    # becomes invariant and XLA hoists it (measured: negative slope). The
+    # pure conv cost is bounded instead as (full - quantize-only).
+    t_quantize = slope(quantize, x)
+    print(f"quantize pass alone:                  {t_quantize*1e3:8.3f} ms")
 
     def conv_int8_quantize_dequant(x):
-        x_q = jnp.clip(jnp.round(x * (1.0 / x_scale).astype(DTYPE)),
-                       -127, 127).astype(jnp.int8)
-        out = conv_int8_from_int8(x_q)
+        out = lax.conv_general_dilated(
+            quantize(x), w_q, window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
         return (out.astype(jnp.float32)
                 * (x_scale * w_scale)).astype(DTYPE)
 
     t_int8_full = slope(conv_int8_quantize_dequant, x)
     print(f"int8 conv + quantize + dequant:       {t_int8_full*1e3:8.3f} ms")
-    print(f"speedup (pure / with q+dq):           "
-          f"{t_bf16/t_int8:4.2f}x / {t_bf16/t_int8_full:4.2f}x")
+    print(f"int8 conv+dequant (minus quantize):   "
+          f"{(t_int8_full-t_quantize)*1e3:8.3f} ms")
+    print(f"speedup (with q+dq / conv-only est):  "
+          f"{t_bf16/t_int8_full:4.2f}x / "
+          f"{t_bf16/max(t_int8_full-t_quantize, 1e-9):4.2f}x")
 
 
 def bench_norms():
