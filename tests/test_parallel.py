@@ -233,17 +233,21 @@ def test_batched_sharded_eval_matches_sequential(tmp_path):
             f"example_{position:04d}_disparity_epoch_001.png"))
 
 
-def test_folded_volume_stays_w_sharded_at_every_level():
+@pytest.mark.parametrize("remat", [False, True])
+def test_folded_volume_stays_w_sharded_at_every_level(remat):
     """The CP-analogue memory claim made falsifiable (VERDICT r3 weak #3):
     the numeric equivalence tests above cannot distinguish 'W-sharded
     end-to-end' from 'GSPMD gathered the volume to replicated after the
     first fold reshape'. This asserts the POST-PROPAGATION sharding XLA
     actually assigned to the folded volume at every hourglass level —
     reported by ``jax.debug.inspect_array_sharding`` at each
-    ``_constrain_folded`` point — keeps W on the ``volume`` mesh axis."""
+    ``_constrain_folded`` point — keeps W on the ``volume`` mesh axis.
+    Parametrized over ``remat`` because the production training config
+    wraps every hourglass block in ``jax.checkpoint`` (bench.py) and the
+    constraints must hold around the rematerialized blocks too."""
     from practicaldeepstereo_nips2018_tpu.models import regularization
 
-    config = models.PDSConfig(maximum_disparity=63)
+    config = models.PDSConfig(maximum_disparity=63, remat=remat)
     params = models.init(jax.random.PRNGKey(0), config)
     mesh = make_mesh(data=2, volume=2)
     keys = jax.random.split(jax.random.PRNGKey(1), 2)
