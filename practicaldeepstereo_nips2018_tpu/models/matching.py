@@ -194,7 +194,12 @@ def _quantized_conv(conv_params: dict, x: jnp.ndarray) -> jnp.ndarray:
                     .astype(jnp.float32) / 127.0 + 1e-30)
     weight_q = jnp.round(weight.astype(jnp.float32)
                          / weight_scale).astype(jnp.int8)
-    x_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0 + 1e-30
+    # Per BATCH-ENTRY activation scale (each entry is one (example,
+    # disparity-pair) slice): a whole-tensor scale would couple the
+    # examples of a batch, breaking the batched-eval == sequential-eval
+    # contract the trainer's data-sharded protocol relies on.
+    x_scale = (jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+               .astype(jnp.float32) / 127.0 + 1e-30)
     x_q = jnp.round(x.astype(jnp.float32) / x_scale).astype(jnp.int8)
     out = jax.lax.conv_general_dilated(
         x_q, weight_q, window_strides=(1, 1), padding=[(1, 1), (1, 1)],

@@ -191,3 +191,29 @@ def test_int8_tail_close_to_float():
     difference = np.abs(np.asarray(exact) - np.asarray(quantized))
     scale = np.abs(np.asarray(exact)).max()
     assert difference.max() / scale < 0.1, (difference.max(), scale)
+
+
+def test_int8_tail_is_per_example_independent():
+    """The int8 activation scales are per (example, pair) batch entry: a
+    batch-of-two eval must produce bit-identical signatures to two
+    independent batch-1 evals (the trainer's data-sharded batched eval
+    promises per-example equivalence to the sequential protocol)."""
+    params = matching.init(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    left = jax.random.normal(keys[0], (2, 16, 24, 64))
+    right = jax.random.normal(keys[1], (2, 16, 24, 64))
+    # Second example scaled 10x: a whole-tensor quantization scale would
+    # visibly coarsen example 0's grid.
+    left = left.at[1].mul(10.0)
+    right = right.at[1].mul(10.0)
+
+    batched = matching.apply_folded(params, left, right, 7, tail_int8=True)
+    singles = [
+        matching.apply_folded(params, left[i:i + 1], right[i:i + 1], 7,
+                              tail_int8=True)
+        for i in range(2)
+    ]
+    np.testing.assert_array_equal(np.asarray(batched[0]),
+                                  np.asarray(singles[0][0]))
+    np.testing.assert_array_equal(np.asarray(batched[1]),
+                                  np.asarray(singles[1][0]))
