@@ -183,9 +183,9 @@ def _quantized_conv(conv_params: dict, x: jnp.ndarray) -> jnp.ndarray:
     v5e executes s8xs8 matmuls at 2x the bf16 MXU rate; the paired tail is
     measured AT its bf16 roofline (77% executed-MFU, module docstring), so
     int8 is the only >1.5x lever left on it. Quantization: symmetric
-    per-OUTPUT-CHANNEL weight scales (static given params) and a symmetric
-    per-tensor dynamic activation scale (one max-abs reduction — fused by
-    XLA into the producing pass). Biases and the surrounding
+    per-OUTPUT-CHANNEL weight scales (static given params) and symmetric
+    per-BATCH-ENTRY dynamic activation scales (one max-abs reduction —
+    fused by XLA into the producing pass). Biases and the surrounding
     leaky/norm/residual arithmetic stay in the activation dtype, so the
     only approximation is the 8-bit rounding of the conv operands.
     """

@@ -10,7 +10,7 @@ costs ~42x its logical bytes. Space-to-depth trades resolution for lanes:
 and the 5x5 stride-2 conv becomes EXACTLY a 3x3 stride-1 conv on the phase
 image, with the 5x5 taps scattered into a [3, 3, 12, cout] kernel by their
 (phase, offset) decomposition: input row index 2y + dy - 2 lands in phase
-``dy % 2`` at phase-row offset ``(dy - 2 + (dy % 2)) // 2 + ...`` — i.e.
+``dy % 2`` of phase-grid row ``y + (dy - 2 - (dy % 2)) // 2``, giving
 dy -> (phase, tap): {0: (0,0), 1: (1,0), 2: (0,1), 3: (1,1), 4: (0,2)}.
 The stride-2 pad-2 boundary semantics map 1:1 onto pad-1 of the phase grid
 because the pad is even, so the equivalence is exact at the borders too
