@@ -124,6 +124,20 @@ def main():
             "mfu_useful_pct": round(100 * useful_flops / seconds / peak, 1),
         })
 
+    # Batched EVAL throughput: the published protocol is batch-1 latency
+    # (the headline metric above), but a production serving deployment
+    # runs batched — images/s at batch 2/4 is its number.
+    eval_throughput = {}
+    for batch in (2, 4):
+        seconds_for_batch = eval_batch_seconds(batch)
+        if seconds_for_batch is None:
+            eval_throughput[str(batch)] = None
+            continue
+        eval_throughput[str(batch)] = {
+            "step_seconds": round(seconds_for_batch, 5),
+            "images_per_second": round(batch / seconds_for_batch, 3),
+        }
+
     # Batched training throughput: the reference is locked to batch 1
     # (``train_on_flyingthings3d.py:57``); batching amortizes per-step
     # overhead and feeds larger MXU grids — images/s at batch 2/4 is the
@@ -153,6 +167,7 @@ def main():
             "compute_dtype": "bfloat16",
             "device": str(jax.devices()[0]),
             "frames_per_second": round(1.0 / seconds, 2),
+            "eval_images_per_second": eval_throughput,
             "slope_samples_s": [round(s, 5) for s in slopes],
             "baseline_seconds": BASELINE_SECONDS,
             "flops": flops_detail,
@@ -166,6 +181,48 @@ def main():
             },
         },
     }))
+
+
+def eval_batch_seconds(batch: int) -> float | None:
+    """Seconds per batched eval forward (serving throughput; same
+    device-loop slope methodology as the headline latency)."""
+    config = models.PDSConfig(maximum_disparity=MAXIMUM_DISPARITY,
+                              folded_conv_impl=FOLDED_IMPL)
+    params = models.init(jax.random.PRNGKey(0), config)
+    key_left, key_right = jax.random.split(jax.random.PRNGKey(3))
+    left = jax.random.uniform(key_left, (batch, HEIGHT, WIDTH, 3),
+                              jnp.float32) * 255.0
+    right = jax.random.uniform(key_right, (batch, HEIGHT, WIDTH, 3),
+                               jnp.float32) * 255.0
+
+    @jax.jit
+    def run(params, left, right, iterations):
+        def body(_, carry):
+            disparity = models.infer(params, left + carry * 1e-30, right,
+                                     config, compute_dtype=jnp.bfloat16)
+            return jnp.mean(disparity)
+
+        return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
+
+    def timed(iterations: int) -> float:
+        start = time.perf_counter()
+        float(run(params, left, right, iterations))
+        return time.perf_counter() - start
+
+    try:
+        float(run(params, left, right, 1))  # compile
+        samples = []
+        for _ in range(REPEATS):
+            short = timed(SHORT_ITERATIONS)
+            long = timed(LONG_ITERATIONS)
+            samples.append(
+                (long - short) / (LONG_ITERATIONS - SHORT_ITERATIONS))
+        return statistics.median(samples)
+    except Exception as error:  # noqa: BLE001 — the headline metric must
+        # still print if a batched variant cannot run here.
+        print(f"eval batch benchmark failed (batch {batch}): {error}",
+              file=sys.stderr)
+        return None
 
 
 def train_step_seconds(batch: int = 1) -> float | None:
