@@ -10,13 +10,13 @@ on TPU:
 * load FlyingThings3D-trained weights network-only (the matching weights
   are disparity-count-agnostic, so a D=191-trained checkpoint fine-tunes
   at the recipe's D=255);
-* train and validate on the seed(0) split of the DISCOVERABLE real
-  pairs — the fixture tree exposes the two 2012 pairs (its 2015 portion
-  is nested under ``data_scene_flow/testing``, outside the training
-  layout both stacks glob), so this trains on ONE real pair and
-  validates on the other: a genuine held-out-image signal exercising
-  the reflective-GT merge, sparse-GT inf masking and the 384x1280
-  top/left PadToSize path on real data for the first time;
+* train on 3 real pairs, validate on the seed(0) held-out 4th — a
+  genuine held-out-image signal exercising the reflective-GT merge,
+  sparse-GT inf masking and the 384x1280 top/left PadToSize path on real
+  data for the first time. (The fixture nests its KITTI-2015 portion
+  under ``data_scene_flow/testing/{training,testing}`` — outside the
+  layout both stacks glob — so the private copy lifts it to the standard
+  ``data_scene_flow/{training,testing}`` before discovery.);
 * record the per-epoch validation MAE/3PE trend.
 
 Usage (on the TPU host):
@@ -45,8 +45,7 @@ def parse_arguments():
                         help="FlyingThings3D checkpoint to start from "
                         "(network-only); omit for random init")
     parser.add_argument("--end_epoch", type=int, default=80,
-                        help="1 step/epoch on the 1 discoverable "
-                        "training pair")
+                        help="3 steps/epoch on the 3 training pairs")
     parser.add_argument("--learning_rate", type=float, default=1e-3)
     parser.add_argument("--work_folder", default=None)
     return parser.parse_args()
@@ -84,6 +83,19 @@ def main():
     experiment = os.path.join(work, "experiment")
     if not os.path.isdir(dataset):
         shutil.copytree(REFERENCE_FIXTURES, dataset)
+        # Lift the fixture's nested 2015 layout to the standard one.
+        scene_flow = os.path.join(dataset, "data_scene_flow")
+        nested = os.path.join(scene_flow, "testing")
+        if (os.path.isdir(os.path.join(nested, "training"))
+                and not os.path.isdir(os.path.join(scene_flow,
+                                                   "training"))):
+            staged = os.path.join(dataset, "_scene_flow_nested")
+            os.rename(nested, staged)
+            os.rename(os.path.join(staged, "training"),
+                      os.path.join(scene_flow, "training"))
+            os.rename(os.path.join(staged, "testing"),
+                      os.path.join(scene_flow, "testing"))
+            os.rmdir(staged)
 
     arguments = [
         "--dataset_folder", dataset,
@@ -106,15 +118,15 @@ def main():
     import jax
     trend = parse_validation_trend(os.path.join(experiment, "log.txt"))
     artifact = {
-        "what": ("the real finetune_kitti.py CLI on the reference's "
-                 "bundled REAL KITTI 2012 pairs (reflective-GT merge, "
-                 "sparse uint8 GT, 0->inf masking), 384x1280 pad, D=255, "
-                 "bf16; trained on ONE real pair, validated on the "
-                 "seed(0) held-out other"),
+        "what": ("the real finetune_kitti.py CLI on the reference's 4 "
+                 "bundled REAL KITTI pairs (2x 2012 with reflective-GT "
+                 "merge + 2x 2015, sparse uint GT, 0->inf masking), "
+                 "384x1280 pad, D=255, bf16; trained on 3 real pairs, "
+                 "validated on the seed(0) held-out 4th"),
         "device": jax.devices()[0].device_kind,
         "pretrained_from": args.pretrained_checkpoint,
         "epochs": args.end_epoch,
-        "steps": 1 * args.end_epoch,
+        "steps": 3 * args.end_epoch,
         "learning_rate": args.learning_rate,
         "validation_first": trend[0] if trend else None,
         "validation_best_mae": (min(trend, key=lambda e: e["mae_px"])
@@ -122,10 +134,11 @@ def main():
         "validation_last": trend[-1] if trend else None,
         "validation_every_10_epochs": trend[::10],
         "note": ("validation is ONE real held-out image after training "
-                 "on ONE other — a transfer signal bounded by the tiny "
-                 "train set, proving the sparse-GT masking + pad path + "
-                 "KITTI decode + fine-tune recipe end-to-end on TPU; the "
-                 "full-dataset recipe needs the real 394-pair KITTI set"),
+                 "on THREE others — a transfer signal bounded by the "
+                 "tiny train set, proving the 2012+2015 decode merge, "
+                 "sparse-GT masking, pad path and fine-tune recipe "
+                 "end-to-end on TPU; the full-dataset recipe needs the "
+                 "real 394-pair KITTI set"),
     }
     with open(args.output, "w") as handle:
         json.dump(artifact, handle, indent=2)
