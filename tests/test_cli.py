@@ -115,3 +115,21 @@ def test_finetune_kitti_cli_end_to_end(tmp_path):
     ])
     assert os.path.exists(os.path.join(experiment, "001_checkpoint.npz"))
     assert os.path.exists(os.path.join(experiment, "log.txt"))
+
+
+@pytest.mark.slow
+def test_precompute_disparity_statistics_cli(tmp_path):
+    dataset = fixtures.make_flyingthings3d_tree(str(tmp_path / "dataset"))
+    stdout = _run_cli("scripts/precompute_disparity_statistics.py", [
+        "--dataset_folder", dataset,
+    ])
+    assert "scanned" in stdout, stdout
+    import glob
+    caches = glob.glob(os.path.join(dataset, "disparity", "**", "*.npz"),
+                       recursive=True)
+    assert caches, "no statistics caches written"
+    # Second run is pure cache reads and must see the same examples.
+    stdout_again = _run_cli("scripts/precompute_disparity_statistics.py", [
+        "--dataset_folder", dataset,
+    ])
+    assert stdout.split()[1] == stdout_again.split()[1]

@@ -207,6 +207,45 @@ def test_kitti_decodes_identically(fixture_copies):
     assert np.isfinite(disparity).any()
 
 
+def test_kitti_2015_decodes_identically(fixture_copies, tmp_path):
+    """The fixture nests its REAL KITTI-2015 pairs under
+    ``data_scene_flow/testing`` — outside the layout either stack globs —
+    so the combined-split tests above only reach the 2012 pairs. Lifting
+    the copy to the standard layout exercises the 2015 decode (disp_occ_0,
+    no reflective merge) bit-for-bit against the reference."""
+    import shutil as shutil_module
+
+    def lifted_copy(source: str, name: str) -> str:
+        target = str(tmp_path / name)
+        shutil_module.copytree(source, target)
+        scene_flow = os.path.join(target, "data_scene_flow")
+        nested = os.path.join(scene_flow, "testing")
+        staged = os.path.join(target, "_staged")
+        os.rename(nested, staged)
+        os.rename(os.path.join(staged, "training"),
+                  os.path.join(scene_flow, "training"))
+        os.rename(os.path.join(staged, "testing"),
+                  os.path.join(scene_flow, "testing"))
+        os.rmdir(staged)
+        return target
+
+    ours_root = lifted_copy(fixture_copies[("ours", "kitti")], "ours")
+    reference_root = lifted_copy(fixture_copies[("reference", "kitti")],
+                                 "reference")
+
+    training, validation = Kitti.training_split(
+        ours_root, number_of_validation_examples=1)
+    reference_training, reference_validation = (
+        reference_kitti.Kitti.training_split(
+            reference_root, number_of_validation_examples=1))
+    # 2x 2012 + 2x 2015 discovered by both stacks.
+    assert len(training) + len(validation) == 4
+    assert (len(reference_training) + len(reference_validation)) == 4
+    for index in range(len(training)):
+        _assert_example_matches_reference(training[index],
+                                          reference_training[index])
+
+
 # ---------------------------------------------------------------------------
 # End-to-end benchmark-protocol evaluation parity
 # ---------------------------------------------------------------------------
