@@ -65,8 +65,25 @@ def load_checkpoint(filename: str, templates: dict):
         trees = {}
         for name, template in templates.items():
             leaves, treedef = jax.tree.flatten(template)
+            stored = sum(1 for key in content.files
+                         if key.startswith(f"{name}."))
+            if stored != len(leaves):
+                raise ValueError(
+                    f'checkpoint "{filename}" holds {stored} "{name}" '
+                    f"arrays but the template expects {len(leaves)} — "
+                    "the checkpoint was written by a different network/"
+                    "optimizer configuration")
             restored = [content[f"{name}.{index}"]
                         for index in range(len(leaves))]
+            for index, (leaf, value) in enumerate(zip(leaves, restored)):
+                expected = getattr(leaf, "shape", None)
+                if expected is not None and tuple(value.shape) != tuple(
+                        expected):
+                    raise ValueError(
+                        f'checkpoint "{filename}" array "{name}.{index}" '
+                        f"has shape {tuple(value.shape)} but the template "
+                        f"expects {tuple(expected)} — configuration "
+                        "mismatch")
             trees[name] = jax.tree.unflatten(treedef, restored)
     return trees, metadata
 

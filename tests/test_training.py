@@ -321,3 +321,19 @@ def test_trainer_rejects_int8_tail_for_training(tmp_path):
                    experiment_folder=str(tmp_path))
     PDSTrainer(network_config=config, params=params,
                experiment_folder=str(tmp_path))
+
+
+def test_checkpoint_mismatch_errors_are_clear(tmp_path):
+    """Loading a checkpoint written by a different configuration must fail
+    with a named, actionable error — not a cryptic 'params.37' KeyError
+    (leaf-count mismatch) or a downstream jit shape error (leaf-shape
+    mismatch)."""
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_checkpoint(
+        path, {"params": {"a": jnp.zeros((2, 3))}}, {})
+    with pytest.raises(ValueError, match="different network"):
+        checkpoint.load_checkpoint(
+            path, {"params": {"a": jnp.zeros((2, 3)),
+                              "b": jnp.zeros((4,))}})
+    with pytest.raises(ValueError, match="configuration mismatch"):
+        checkpoint.load_checkpoint(path, {"params": {"a": jnp.zeros((9,))}})
