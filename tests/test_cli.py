@@ -133,3 +133,37 @@ def test_precompute_disparity_statistics_cli(tmp_path):
         "--dataset_folder", dataset,
     ])
     assert stdout.split()[1] == stdout_again.split()[1]
+
+
+@pytest.mark.slow
+def test_export_kitti_submission_cli(tmp_path):
+    """The submission-export CLI end-to-end: train-free (random init is
+    fine — the export contract is files, names, format), real KITTI
+    website format: uint16 disparity*256 PNGs named after the source."""
+    import numpy as np
+
+    dataset = fixtures.make_kitti_tree(str(tmp_path / "kitti"))
+    experiment = str(tmp_path / "experiment")
+
+    from practicaldeepstereo_nips2018_tpu import models
+    from practicaldeepstereo_nips2018_tpu.training import checkpoint
+    config = models.PDSConfig(maximum_disparity=63)
+    params = models.init(__import__("jax").random.PRNGKey(0), config)
+    checkpoint_file = str(tmp_path / "001_checkpoint.npz")
+    checkpoint.save_checkpoint(checkpoint_file, {"params": params}, {})
+
+    stdout = _run_cli("scripts/export_kitti_submission.py", [
+        "--dataset_folder", dataset,
+        "--experiment_folder", experiment,
+        "--checkpoint_file", checkpoint_file,
+        "--benchmark", "2015",
+        "--maximum_disparity", "63",
+        "--num_workers", "1",
+    ])
+    assert "exported" in stdout, stdout
+    import cv2
+    submission = os.path.join(experiment, "submission", "000000_10.png")
+    assert os.path.isfile(submission)
+    decoded = cv2.imread(submission, cv2.IMREAD_UNCHANGED)
+    assert decoded.dtype == np.uint16
+    assert decoded.shape == (fixtures.HEIGHT, fixtures.WIDTH)
