@@ -59,6 +59,25 @@ def spans_processes(mesh: Mesh) -> bool:
     return len({d.process_index for d in mesh.devices.flat}) > 1
 
 
+def axis_spans_processes(mesh: Mesh, axis_name: str) -> bool:
+    """True when moving along ``axis_name`` (at any fixed position on the
+    other axes) crosses a process boundary.
+
+    Decides the cross-process batch-assembly strategy: a ``data`` axis
+    spanning processes pairs with per-host example shards
+    (:func:`global_batch_from_host_local`); a ``volume`` axis spanning
+    processes W-slices every example across hosts, so every host must load
+    the full batch (:func:`global_batch_from_full`) — and the hourglass
+    halo exchanges ride DCN instead of staying host-local."""
+    import numpy as np
+    axis_index = list(mesh.axis_names).index(axis_name)
+    along_axis = np.moveaxis(mesh.devices, axis_index, 0)
+    columns = along_axis.reshape(along_axis.shape[0], -1)
+    return any(
+        len({device.process_index for device in columns[:, position]}) > 1
+        for position in range(columns.shape[1]))
+
+
 def global_batch_from_host_local(mesh: Mesh,
                                  host_local: "np.ndarray") -> jax.Array:
     """Assembles the GLOBAL batch array from this host's loader shard.
@@ -91,6 +110,22 @@ def global_batch_from_host_local(mesh: Mesh,
             f"({mesh.shape[DATA_AXIS]}); raise the per-host batch size")
     return jax.make_array_from_process_local_data(placement, host_local,
                                                   global_shape)
+
+
+def global_batch_from_full(mesh: Mesh, full_batch: "np.ndarray") -> jax.Array:
+    """Assembles the global batch when EVERY host holds the FULL batch.
+
+    Required when the ``volume`` axis crosses processes: each host then owns
+    a W-slice of every example, which a per-example host-sharded loader
+    cannot provide — so every host's input pipeline must yield the same
+    complete global batch (deterministic loaders, no host sharding) and each
+    process contributes the slices its addressable devices own."""
+    import numpy as np
+    full_batch = np.asarray(full_batch)
+    placement = compatible_batch_sharding(mesh, full_batch.shape)
+    return jax.make_array_from_callback(
+        full_batch.shape, placement,
+        lambda index: full_batch[index])
 
 
 def image_spec() -> P:

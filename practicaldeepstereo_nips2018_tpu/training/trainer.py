@@ -98,9 +98,18 @@ class PDSTrainer:
         self._mesh = mesh
         if mesh is not None:
             from practicaldeepstereo_nips2018_tpu.parallel import sharding
+            from practicaldeepstereo_nips2018_tpu.parallel.mesh import (
+                VOLUME_AXIS)
             self._mesh_spans_processes = sharding.spans_processes(mesh)
+            # Volume axis crossing processes: every host must feed the FULL
+            # global batch (each host owns a W-slice of every example), vs
+            # the host-sharded-loader assembly of a cross-process data axis.
+            self._volume_axis_spans_processes = (
+                self._mesh_spans_processes
+                and sharding.axis_spans_processes(mesh, VOLUME_AXIS))
         else:
             self._mesh_spans_processes = False
+            self._volume_axis_spans_processes = False
         self._number_of_examples_to_visualize = (
             number_of_examples_to_visualize)
 
@@ -145,6 +154,20 @@ class PDSTrainer:
         updates, opt_state = self._optimizer.update(gradients, opt_state)
         params = jax.tree.map(lambda p, u: p - learning_rate * u, params,
                               updates)
+        if self._mesh is not None:
+            # Enforce the documented layout invariant (parallel/sharding.py:
+            # "parameters: replicated"): without a constraint GSPMD is free
+            # to emit SHARDED updated params/opt state (observed under a
+            # cross-process volume mesh), which breaks checkpoint fetching
+            # (np.asarray of non-addressable shards) and every host-side
+            # consumer. The constraint is an all-gather of ~9 MB of
+            # parameters at worst — noise next to the step.
+            from practicaldeepstereo_nips2018_tpu.parallel import sharding
+            replicate = sharding.replicated(self._mesh)
+            constrain = functools.partial(
+                jax.lax.with_sharding_constraint, shardings=replicate)
+            params = jax.tree.map(constrain, params)
+            opt_state = jax.tree.map(constrain, opt_state)
         return params, opt_state, loss
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -326,6 +349,10 @@ class PDSTrainer:
             return jnp.asarray(array)
         from practicaldeepstereo_nips2018_tpu.parallel import sharding
         if self._mesh_spans_processes:
+            if self._volume_axis_spans_processes:
+                # W-slices of every example live on every host: the loader
+                # must yield the full (identical) global batch per host.
+                return sharding.global_batch_from_full(self._mesh, array)
             return sharding.global_batch_from_host_local(self._mesh, array)
         key = np.asarray(array).shape
         placement = self._sharding_cache.get(key)
