@@ -54,6 +54,10 @@ REPEATS = 5  # relay jitter makes 3-sample medians swing ~20% (measured)
 # banded_slab measured faster than dense on every eligible conv shape
 # (scripts/microbench_folded_banded.py, r3).
 FOLDED_IMPL = "banded_slab"
+# Remat policy for the training-step metric (r5 A/B on v5e,
+# scripts/ab_train_remat.py / TRAIN_REMAT_r05.json): see that artifact for
+# the False / "selective" / True step times at batch 1/2/4.
+TRAIN_REMAT = "selective"
 
 
 def main():
@@ -156,6 +160,30 @@ def main():
         if batch == 1:
             train_seconds = seconds_for_batch
 
+    # Train-step FLOP/MFU accounting (forward + backward + remat recompute,
+    # utils/flops.py::training_macs) — the training analogue of the eval
+    # MFU above (VERDICT r4 weak #1).
+    train_accounting = flops.training_macs(
+        padded_height, padded_width, TRAIN_MAXIMUM_DISPARITY,
+        folded_impl=FOLDED_IMPL, remat=TRAIN_REMAT)
+    train_flops_detail = {
+        "remat": TRAIN_REMAT,
+        "executed_gmacs": train_accounting["executed_gmacs"],
+        "useful_gmacs": train_accounting["useful_gmacs"],
+        "recompute_gmacs": train_accounting["recompute_gmacs"],
+        "recompute_overhead_pct": (
+            train_accounting["recompute_overhead_pct"]),
+    }
+    if peak is not None and train_seconds is not None:
+        train_flops_detail.update({
+            "train_mfu_executed_pct": round(
+                100 * train_accounting["executed_gmacs"] * 2e9
+                / train_seconds / peak, 1),
+            "train_mfu_useful_pct": round(
+                100 * train_accounting["useful_gmacs"] * 2e9
+                / train_seconds / peak, 1),
+        })
+
     print(json.dumps({
         "metric": "time_per_image",
         "value": round(seconds, 5),
@@ -177,8 +205,9 @@ def main():
             "train_step_config": {
                 "shape": [HEIGHT, WIDTH], "batch": [1, 2, 4],
                 "maximum_disparity": TRAIN_MAXIMUM_DISPARITY,
-                "compute_dtype": "bfloat16", "remat": True,
+                "compute_dtype": "bfloat16", "remat": TRAIN_REMAT,
             },
+            "train_flops": train_flops_detail,
         },
     }))
 
@@ -225,13 +254,13 @@ def eval_batch_seconds(batch: int) -> float | None:
         return None
 
 
-def train_step_seconds(batch: int = 1) -> float | None:
+def train_step_seconds(batch: int = 1, remat=TRAIN_REMAT) -> float | None:
     """Seconds per donated full-resolution training step (the reference's
     training config: 960x540, D=255, RMSprop — its 160k-iteration
     run is gated by this number, ``train_on_flyingthings3d.py:57-81``).
     Same device-loop slope methodology as the eval metric."""
     config = models.PDSConfig(maximum_disparity=TRAIN_MAXIMUM_DISPARITY,
-                              remat=True, folded_conv_impl=FOLDED_IMPL)
+                              remat=remat, folded_conv_impl=FOLDED_IMPL)
     params = models.init(jax.random.PRNGKey(0), config)
     transform = optimizer.rmsprop()
     opt_state = transform.init(params)

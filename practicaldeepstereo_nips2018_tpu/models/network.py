@@ -56,12 +56,22 @@ class PDSConfig:
     estimator_half_support_window: int = 4
     disparity_step: int = 2
     minimum_size: int = 64
-    # Rematerialization: recompute the matching stage and each hourglass
-    # block in the backward pass instead of storing their activations. At
-    # full resolution the training-mode cost-volume activations dominate HBM
-    # (SURVEY §7 hard part #1); remat trades ~1 extra forward of those
-    # stages for O(stage inputs) memory.
-    remat: bool = False
+    # Rematerialization policy: recompute stages in the backward pass
+    # instead of storing their activations. At full resolution the
+    # training-mode cost-volume activations dominate HBM (SURVEY §7 hard
+    # part #1); remat trades ~1 extra forward of the checkpointed stages
+    # for O(stage inputs) memory.
+    #   False        — store everything (fastest when it fits: crop-sized
+    #                  training, small batches).
+    #   "selective"  — checkpoint only the VOLUME-SIZED stages (the paired
+    #                  matching stage, whose P x 4096-lane activations
+    #                  dominate stored bytes, plus the quarter-resolution
+    #                  hourglass stages and the upsamplers); the cheap deep
+    #                  hourglass levels (4x fewer pixels each) are stored,
+    #                  not recomputed (``regularization._stage_remat``).
+    #   True         — blanket: checkpoint every stage (maximum memory
+    #                  headroom, most recompute).
+    remat: bool | str = False
     # Execution of the folded hourglass convs: "dense" | "banded_slab" |
     # "banded_pallas" (exact alternatives, see ``ops/folded_banded.py``;
     # the Pallas form is forward-only — training keeps dense/slab).
@@ -104,6 +114,10 @@ class PDSConfig:
             raise ValueError(
                 f'unknown folded_conv_impl "{self.folded_conv_impl}"; '
                 'expected "dense", "banded_slab" or "banded_pallas"')
+        if self.remat not in (False, True, "selective"):
+            raise ValueError(
+                f'unknown remat policy {self.remat!r}; expected False, '
+                'True or "selective"')
 
     @property
     def matching_maximum_disparity(self) -> int:
@@ -230,7 +244,10 @@ def apply_padded(params: dict,
         maximum_disparity=config.matching_maximum_disparity,
         factor_conv1=config.factor_tail_conv1,
         tail_int8=config.matching_tail_int8)
-    if config.remat:
+    # The matching stage is checkpointed under BOTH remat policies: its
+    # paired-tail activations ([B, H/4, W/4, D/2 * 128] per conv) are the
+    # single largest stored-activation block of the training step.
+    if config.remat in (True, "selective"):
         matching_fn = jax.checkpoint(matching_fn)
     folded_signatures = matching_fn(params["matching"], left_descriptor,
                                     right_descriptor)

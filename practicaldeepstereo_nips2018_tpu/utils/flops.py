@@ -17,8 +17,11 @@ Two numbers per stage, both in multiply-accumulates (MACs):
 traded for full 128-lane tiling (VERDICT round 1, weak #4); ``executed``
 against the measured wall-clock gives honest MXU utilization (MFU).
 
-All counts are per single forward (batch 1); multiply by 3 for a rough
-training step (forward + 2x backward).
+All counts are per single forward (batch 1). :func:`training_macs` extends
+the accounting to a full training step: backward (2x every conv: input
+gradient + weight gradient) plus the rematerialization recompute of the
+checkpointed stages under the configured remat policy
+(``models/network.py::PDSConfig.remat``).
 """
 
 from __future__ import annotations
@@ -79,6 +82,19 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
             ``ops/folded_banded.py``). The anisotropic fullsize upsampler is
             dense in every impl.
     """
+    stages, _ = _forward_detail(height, width, maximum_disparity,
+                                number_of_features, folded_impl)
+    return stages
+
+
+def _forward_detail(height: int, width: int, maximum_disparity: int,
+                    number_of_features: int = 8,
+                    folded_impl: str = "dense"):
+    """Returns (stages, hourglass_blocks): the public per-stage summary plus
+    per-block (useful, executed) MACs of the hourglass core keyed by the
+    block tags ``smoothing`` / ``contraction{1..4}`` / ``expansion{1..4}`` —
+    the granularity the remat policies checkpoint at
+    (``models/regularization.py::_stage_remat``)."""
     stages: list[StageMacs] = []
     quarter_h, quarter_w = height // 4, width // 4
     quarter_pixels = quarter_h * quarter_w
@@ -148,46 +164,40 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
         executed = pixels * taps * k_executed * 128 * n_groups
         return useful, executed
 
-    hour_useful = hour_executed = 0
+    hourglass_blocks: dict[str, tuple[int, int]] = {}
     # smoothing at full volume resolution
-    u, e = folded_conv(quarter_pixels, 3, 3, depth, depth, features,
-                       features)
-    hour_useful += u
-    hour_executed += e
+    hourglass_blocks["smoothing"] = folded_conv(
+        quarter_pixels, 3, 3, depth, depth, features, features)
     level_depth, level_h, level_w, level_c = depth, quarter_h, quarter_w, \
         features
     skips = []
-    for _ in range(4):
+    for index in range(4):
         down_depth = (level_depth + 2 - 3) // 2 + 1
         down_h, down_w = (level_h + 1) // 2, (level_w + 1) // 2
-        u, e = folded_conv(down_h * down_w, 3, 3, level_depth, down_depth,
-                           level_c, 2 * level_c, stride=2)
-        hour_useful += u
-        hour_executed += e
-        u, e = folded_conv(down_h * down_w, 3, 3, down_depth, down_depth,
-                           2 * level_c, 2 * level_c)
-        hour_useful += u
-        hour_executed += e
+        u1, e1 = folded_conv(down_h * down_w, 3, 3, level_depth, down_depth,
+                             level_c, 2 * level_c, stride=2)
+        u2, e2 = folded_conv(down_h * down_w, 3, 3, down_depth, down_depth,
+                             2 * level_c, 2 * level_c)
+        hourglass_blocks[f"contraction{index + 1}"] = (u1 + u2, e1 + e2)
         skips.append((level_depth, level_h, level_w, level_c))
         level_depth, level_h, level_w, level_c = (down_depth, down_h,
                                                   down_w, 2 * level_c)
-    for _ in range(4):
+    for index in range(4):
         up_depth, up_h, up_w, up_c = skips.pop()
         # transposed 4x4x4 stride 2: executed spatial taps 2x2 (XLA skips
         # dilation zeros); useful depth taps ceil(4/2) = 2.
-        u, e = folded_conv(up_h * up_w, 4, 2, level_depth, up_depth,
-                           level_c, level_c // 2, spatial_taps=4,
-                           transposed=True)
-        hour_useful += u
-        hour_executed += e
-        u, e = folded_conv(up_h * up_w, 3, 3, up_depth, up_depth,
-                           level_c // 2, level_c // 2)
-        hour_useful += u
-        hour_executed += e
+        u1, e1 = folded_conv(up_h * up_w, 4, 2, level_depth, up_depth,
+                             level_c, level_c // 2, spatial_taps=4,
+                             transposed=True)
+        u2, e2 = folded_conv(up_h * up_w, 3, 3, up_depth, up_depth,
+                             level_c // 2, level_c // 2)
+        hourglass_blocks[f"expansion{index + 1}"] = (u1 + u2, e1 + e2)
         level_depth, level_h, level_w, level_c = (up_depth, up_h, up_w,
                                                   level_c // 2)
-    stages.append(StageMacs("hourglass core (folded)", hour_useful,
-                            hour_executed))
+    stages.append(StageMacs(
+        "hourglass core (folded)",
+        sum(u for u, _ in hourglass_blocks.values()),
+        sum(e for _, e in hourglass_blocks.values())))
 
     # upsample to halfsize: transposed 4x4x4 s2, C -> C/2, depth doubles.
     half_h, half_w = 2 * level_h, 2 * level_w
@@ -200,7 +210,63 @@ def forward_macs(height: int, width: int, maximum_disparity: int,
                          level_c // 2, 1, spatial_taps=4,
                          banded_eligible=False)
     stages.append(StageMacs("upsamplers (folded)", u1 + u2, e1 + e2))
-    return stages
+    return stages, hourglass_blocks
+
+
+# Stage/block sets each remat policy checkpoints (and therefore re-executes
+# once in the backward pass). Mirrors ``models/network.py:apply_padded``
+# (matching) and ``models/regularization.py::_stage_remat`` (hourglass,
+# upsamplers); the embedding is never checkpointed.
+_HOURGLASS_TAGS = tuple(["smoothing"]
+                        + [f"contraction{i}" for i in range(1, 5)]
+                        + [f"expansion{i}" for i in range(1, 5)])
+_REMAT_RECOMPUTED = {
+    False: (),
+    True: (("matching head (factored)", "matching tail (paired x2)",
+            "upsamplers (folded)") + _HOURGLASS_TAGS),
+    "selective": ("matching head (factored)", "matching tail (paired x2)",
+                  "upsamplers (folded)", "smoothing", "contraction1",
+                  "expansion4"),
+}
+
+
+def training_macs(height: int, width: int, maximum_disparity: int,
+                  number_of_features: int = 8,
+                  folded_impl: str = "dense",
+                  remat=False) -> dict:
+    """MAC accounting for ONE training step (per image, batch-linear).
+
+    * forward — one :func:`forward_macs` pass;
+    * backward — 2x every conv (the input-gradient conv + the
+      weight-gradient conv each execute the forward's MAC count);
+    * recompute — the forward MACs of the stages the ``remat`` policy
+      checkpoints, re-executed once inside the backward pass.
+
+    The loss (closed-form Laplace x log_softmax) and the RMSprop update are
+    elementwise — no MXU MACs worth counting.
+    """
+    stages, hourglass_blocks = _forward_detail(
+        height, width, maximum_disparity, number_of_features, folded_impl)
+    recomputed = _REMAT_RECOMPUTED[remat]
+    by_name = {s.name: (s.useful, s.executed) for s in stages}
+    by_name.update(hourglass_blocks)
+    recompute_useful = sum(by_name[tag][0] for tag in recomputed)
+    recompute_executed = sum(by_name[tag][1] for tag in recomputed)
+    forward_useful = sum(s.useful for s in stages)
+    forward_executed = sum(s.executed for s in stages)
+    return {
+        "remat": remat,
+        "forward_gmacs": round(forward_executed / 1e9, 2),
+        "backward_gmacs": round(2 * forward_executed / 1e9, 2),
+        "recompute_gmacs": round(recompute_executed / 1e9, 2),
+        "executed_gmacs": round(
+            (3 * forward_executed + recompute_executed) / 1e9, 2),
+        # Useful training MACs never include recompute: rematerialization
+        # is an execution choice, not network math.
+        "useful_gmacs": round(3 * forward_useful / 1e9, 2),
+        "recompute_overhead_pct": round(
+            100 * recompute_executed / (3 * forward_executed), 1),
+    }
 
 
 def summarize(stages: list[StageMacs]) -> dict:

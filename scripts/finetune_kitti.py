@@ -64,6 +64,10 @@ def parse_arguments():
                         "banded_slab measured fastest on TPU v5e; the "
                         "forward-only banded_pallas form is inference-only "
                         "and lives in benchmark_flyingthings3d.py)")
+    parser.add_argument("--remat", default="none",
+                        choices=["none", "selective", "all"],
+                        help="activation rematerialization policy (see "
+                        "train_flyingthings3d.py --remat)")
     return parser.parse_args()
 
 
@@ -97,7 +101,9 @@ def main():
 
     config = models.PDSConfig(
         maximum_disparity=args.maximum_disparity,
-        folded_conv_impl=args.folded_conv_impl)
+        folded_conv_impl=args.folded_conv_impl,
+        remat={"none": False, "selective": "selective",
+               "all": True}[args.remat])
     params = models.init(jax.random.PRNGKey(0), config)
 
     mesh = None

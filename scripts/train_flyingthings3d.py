@@ -76,7 +76,18 @@ def parse_arguments():
                         "banded_slab measured fastest on TPU v5e; the "
                         "forward-only banded_pallas form is inference-only "
                         "and lives in benchmark_flyingthings3d.py)")
+    parser.add_argument("--remat", default="none",
+                        choices=["none", "selective", "all"],
+                        help="activation rematerialization policy "
+                        "(numerics-identical): none = store everything "
+                        "(fastest when it fits — full-size batch-1 D=255 "
+                        "fits a 16 GB v5e), selective = recompute only the "
+                        "volume-sized stages (for larger batches/volumes), "
+                        "all = blanket (maximum headroom)")
     return parser.parse_args()
+
+
+REMAT_POLICIES = {"none": False, "selective": "selective", "all": True}
 
 
 def build_loaders(training_set, validation_set, batch_size: int,
@@ -112,7 +123,8 @@ def main():
             args.dataset_folder)
         config = models.PDSConfig(
             maximum_disparity=127,
-            folded_conv_impl=args.folded_conv_impl)
+            folded_conv_impl=args.folded_conv_impl,
+            remat=REMAT_POLICIES[args.remat])
     else:
         training_set, validation_set = FlyingThings3D.training_split(
             args.dataset_folder, maximum_disparity=args.maximum_disparity,
@@ -120,7 +132,8 @@ def main():
                 args.number_of_validation_examples))
         config = models.PDSConfig(
             maximum_disparity=args.maximum_disparity,
-            folded_conv_impl=args.folded_conv_impl)
+            folded_conv_impl=args.folded_conv_impl,
+            remat=REMAT_POLICIES[args.remat])
 
     if args.crop_height and args.crop_width:
         training_set.append_transformers(

@@ -36,6 +36,13 @@ def test_unknown_folded_conv_impl_rejected():
         models.PDSConfig(maximum_disparity=63, folded_conv_impl="slab")
 
 
+def test_unknown_remat_policy_rejected():
+    from practicaldeepstereo_nips2018_tpu import models
+
+    with pytest.raises(ValueError, match="remat"):
+        models.PDSConfig(maximum_disparity=63, remat="everything")
+
+
 def test_embedding_apply_pair_matches_separate_padded_calls():
     """The fused batched front-end (cast-first, pad+instance-norm in one
     pass, both images in one tower call) must equal the plain path:
@@ -166,8 +173,11 @@ def test_network_is_differentiable_in_bfloat16():
     assert sum(float(jnp.sum(jnp.abs(leaf))) for leaf in leaves) > 0.0
 
 
-def test_remat_config_matches_values():
-    config = network.PDSConfig(maximum_disparity=63, remat=True)
+@pytest.mark.parametrize("remat", [True, "selective"])
+def test_remat_config_matches_values(remat):
+    """Both remat policies (blanket and selective) are numerics-preserving
+    for the loss and every parameter gradient."""
+    config = network.PDSConfig(maximum_disparity=63, remat=remat)
     baseline = network.PDSConfig(maximum_disparity=63)
     params = network.init(jax.random.PRNGKey(0), baseline)
     left = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 255

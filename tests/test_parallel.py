@@ -233,7 +233,7 @@ def test_batched_sharded_eval_matches_sequential(tmp_path):
             f"example_{position:04d}_disparity_epoch_001.png"))
 
 
-@pytest.mark.parametrize("remat", [False, True])
+@pytest.mark.parametrize("remat", [False, True, "selective"])
 def test_folded_volume_stays_w_sharded_at_every_level(remat):
     """The CP-analogue memory claim made falsifiable (VERDICT r3 weak #3):
     the numeric equivalence tests above cannot distinguish 'W-sharded
