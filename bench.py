@@ -55,9 +55,13 @@ REPEATS = 5  # relay jitter makes 3-sample medians swing ~20% (measured)
 # (scripts/microbench_folded_banded.py, r3).
 FOLDED_IMPL = "banded_slab"
 # Remat policy for the training-step metric (r5 A/B on v5e,
-# scripts/ab_train_remat.py / TRAIN_REMAT_r05.json): see that artifact for
-# the False / "selective" / True step times at batch 1/2/4.
-TRAIN_REMAT = "selective"
+# scripts/ab_train_remat.py / TRAIN_REMAT_r05.json): store-everything FITS
+# the 16 GB chip at this config through batch 4 and is fastest everywhere
+# (0.1135 s vs 0.1320 selective / 0.1331 blanket at batch 1 — the remat
+# recompute is matching-tail-dominated, so selective buys memory headroom,
+# not time). Training CLIs default to --remat none accordingly; selective
+# is the fallback for configs that exceed HBM.
+TRAIN_REMAT = False
 
 
 def main():

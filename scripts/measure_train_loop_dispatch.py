@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Measures the REAL train loop's per-step wall time vs the pure device step.
+
+VERDICT r4 weak #3: the shipped CLI loop fetched ``float(loss)`` every
+step, serializing host dispatch with device execution (~25 ms per step
+through the TPU relay), so the CLI trained slower than bench.py's
+device-loop number. The loop now defers the fetch to the epoch boundary
+(``training/trainer.py::_train_for_epoch``).
+
+This driver times the ACTUAL ``PDSTrainer`` epoch loop on full-size
+synthetic batches (no dataset IO noise) in both modes:
+
+* pipelined  — the shipped loop (device-scalar losses, epoch-end fetch);
+* per-step   — the r4 behavior, reproduced by wrapping the jitted step
+  with an immediate ``float(loss)``;
+
+and prints per-step wall times next to ``bench.train_step_seconds`` (the
+device-loop slope), writing TRAIN_LOOP_r05.json.
+
+Usage (on the TPU host):
+    python scripts/measure_train_loop_dispatch.py --steps 20
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (configures the persistent compilation cache)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from practicaldeepstereo_nips2018_tpu import models  # noqa: E402
+from practicaldeepstereo_nips2018_tpu.training import PDSTrainer  # noqa: E402
+
+HEIGHT, WIDTH = 540, 960
+
+
+class SyntheticLoader:
+    """Fixed number of full-size random batches, pre-generated (host-side
+    numpy generation is excluded by construction, mirroring the real
+    loader's prefetch)."""
+
+    def __init__(self, steps: int):
+        rng = np.random.RandomState(0)
+        self._batches = [{
+            "left": {
+                "image": rng.uniform(0, 255, (1, HEIGHT, WIDTH, 3)).astype(
+                    np.float32),
+                "disparity_image": rng.uniform(
+                    0, 150, (1, HEIGHT, WIDTH)).astype(np.float32),
+            },
+            "right": {
+                "image": rng.uniform(0, 255, (1, HEIGHT, WIDTH, 3)).astype(
+                    np.float32),
+            },
+        } for _ in range(steps)]
+
+    def __len__(self):
+        return len(self._batches)
+
+    def __iter__(self):
+        return iter(self._batches)
+
+
+def epoch_seconds(trainer: PDSTrainer, steps: int) -> float:
+    trainer._current_epoch = 0
+    trainer._training_losses = []
+    start = time.perf_counter()
+    loss = trainer._train_for_epoch()
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(loss)
+    return elapsed / steps
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--maximum_disparity", type=int, default=255)
+    parser.add_argument("--remat", default="none",
+                        choices=["none", "selective", "all"])
+    parser.add_argument("--output", default="TRAIN_LOOP_r05.json")
+    args = parser.parse_args()
+    remat = {"none": False, "selective": "selective", "all": True}[args.remat]
+
+    config = models.PDSConfig(maximum_disparity=args.maximum_disparity,
+                              folded_conv_impl=bench.FOLDED_IMPL,
+                              remat=remat)
+    trainer = PDSTrainer(
+        network_config=config,
+        params=models.init(jax.random.PRNGKey(0), config),
+        training_set_loader=SyntheticLoader(args.steps),
+        experiment_folder="/tmp/pds_train_loop_measure",
+        initial_learning_rate=1e-3,
+        end_epoch=1,
+        compute_dtype=jnp.bfloat16,
+        number_of_examples_to_visualize=0)
+    trainer._ensure_logger()
+
+    # Warm up (compile) once, untimed.
+    epoch_seconds(trainer, args.steps)
+
+    pipelined = [epoch_seconds(trainer, args.steps) for _ in range(3)]
+
+    # r4 behavior: per-step host fetch.
+    jitted_step = trainer._train_step
+
+    def per_step_fetch(params, opt_state, *rest):
+        params, opt_state, loss = jitted_step(params, opt_state, *rest)
+        float(loss)
+        return params, opt_state, loss
+
+    trainer._train_step = per_step_fetch
+    per_step = [epoch_seconds(trainer, args.steps) for _ in range(3)]
+    trainer._train_step = jitted_step
+
+    device_step = bench.train_step_seconds(1, remat=remat)
+
+    result = {
+        "what": ("per-step wall time of the REAL PDSTrainer epoch loop on "
+                 "full-size synthetic batches, pipelined (shipped) vs "
+                 "per-step loss fetch (r4 behavior), against the pure "
+                 "device-loop step time"),
+        "device": jax.devices()[0].device_kind,
+        "config": {"shape": [HEIGHT, WIDTH],
+                   "maximum_disparity": args.maximum_disparity,
+                   "remat": args.remat, "steps": args.steps},
+        "pipelined_step_seconds": [round(s, 5) for s in pipelined],
+        "per_step_fetch_step_seconds": [round(s, 5) for s in per_step],
+        "device_loop_step_seconds": (None if device_step is None
+                                     else round(device_step, 5)),
+    }
+    with open(args.output, "w") as handle:
+        json.dump(result, handle, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -308,6 +308,17 @@ def test_benchmark_without_ground_truth_exports_submission(tmp_path):
     decoded = cv2.imread(submission, cv2.IMREAD_UNCHANGED)
     assert decoded.dtype == np.uint16
     assert decoded.shape == (fixtures.HEIGHT, fixtures.WIDTH)
+    # Round-trip: the exported uint16 PNG carries the prediction to within
+    # the format's own quantization (disparity*256 truncated) — exactly
+    # what the KITTI website decodes.
+    batch = next(iter(Loader(benchmark, batch_size=1, num_workers=1)))
+    predicted = np.asarray(trainer._infer_step(
+        trainer.params,
+        jnp.asarray(batch["left"]["image"]),
+        jnp.asarray(batch["right"]["image"])))[0]
+    representable = np.clip(predicted, 0.0, 65535.0 / 256.0)
+    assert np.abs(decoded.astype(np.float64) / 256.0
+                  - representable).max() <= 1.0 / 256.0 + 1e-9
 
 
 def test_trainer_rejects_int8_tail_for_training(tmp_path):
