@@ -107,6 +107,52 @@ def main():
 
     pipelined = [epoch_seconds(trainer, args.steps) for _ in range(3)]
 
+    # Device-resident variant: the SAME loop with the host->device batch
+    # transfer taken out (batches pre-placed). Separates the two loop
+    # overheads: if this matches the device-loop slope, the loop structure
+    # pipelines correctly and any residual CLI gap is the TRANSPORT's
+    # transfer path (through the axon relay, host->device copies do not
+    # overlap queued compute; on locally-attached TPUs PCIe transfers are
+    # ~1 ms and overlap).
+    placed = [jax.tree.map(jnp.asarray, batch)
+              for batch in trainer._training_set_loader]
+    jax.block_until_ready(placed)
+
+    class PlacedLoader:
+        def __len__(self):
+            return len(placed)
+
+        def __iter__(self):
+            return iter(placed)
+
+    host_loader = trainer._training_set_loader
+    trainer._training_set_loader = PlacedLoader()
+    device_resident = [epoch_seconds(trainer, args.steps) for _ in range(3)]
+
+    # The clean A/B of the r5 pipelining fix: the SAME device-resident
+    # batches under the r4 per-step-fetch behavior. Device-resident on both
+    # sides removes the relay's (highly variable, 0.025-0.7 s observed)
+    # transfer cost from the comparison, isolating the dispatch-
+    # serialization cost the fix removed.
+    jitted_step = trainer._train_step
+
+    def per_step_fetch_wrapper(params, opt_state, *rest):
+        params, opt_state, loss = jitted_step(params, opt_state, *rest)
+        float(loss)
+        return params, opt_state, loss
+
+    trainer._train_step = per_step_fetch_wrapper
+    device_resident_per_step_fetch = [
+        epoch_seconds(trainer, args.steps) for _ in range(3)]
+    trainer._train_step = jitted_step
+    trainer._training_set_loader = host_loader
+
+    # One-batch transfer cost (blocking), for the accounting.
+    sample = next(iter(host_loader))
+    start = time.perf_counter()
+    jax.block_until_ready(jax.tree.map(jnp.asarray, sample))
+    transfer_seconds = time.perf_counter() - start
+
     # r4 behavior: per-step host fetch.
     jitted_step = trainer._train_step
 
@@ -131,9 +177,25 @@ def main():
                    "maximum_disparity": args.maximum_disparity,
                    "remat": args.remat, "steps": args.steps},
         "pipelined_step_seconds": [round(s, 5) for s in pipelined],
+        "device_resident_step_seconds": [round(s, 5)
+                                         for s in device_resident],
+        "device_resident_per_step_fetch_seconds": [
+            round(s, 5) for s in device_resident_per_step_fetch],
         "per_step_fetch_step_seconds": [round(s, 5) for s in per_step],
+        "batch_transfer_seconds": round(transfer_seconds, 5),
         "device_loop_step_seconds": (None if device_step is None
                                      else round(device_step, 5)),
+        "note": ("the load-bearing comparison is the device-resident pair: "
+                 "the shipped pipelined loop vs the same loop with the r4 "
+                 "per-step float(loss) — transfer noise excluded. "
+                 "device_resident ~= device_loop proves the loop pipelines "
+                 "dispatch correctly. The host-batch rows are dominated by "
+                 "the relay's non-overlapping and highly variable "
+                 "host->device transfer (0.025-0.7 s per 14.5 MB batch "
+                 "observed across runs — a transport artifact; "
+                 "locally-attached PCIe transfers are ~1 ms and overlap; "
+                 "threaded prefetch measured no help, the relay client "
+                 "serializes)"),
     }
     with open(args.output, "w") as handle:
         json.dump(result, handle, indent=2)
