@@ -35,6 +35,11 @@ def save_checkpoint(filename: str, trees: dict, metadata: dict) -> None:
     """
     if jax.process_index() != 0:
         return
+    # One device_get over the whole state, not np.asarray per leaf: it
+    # starts ALL device->host copies asynchronously before blocking, so the
+    # fetch pays one transport round-trip instead of one per leaf (~450
+    # leaves x ~25 ms dispatch on a relayed TPU = seconds per epoch).
+    trees = jax.device_get(trees)
     arrays = {}
     for name, tree in trees.items():
         for index, leaf in enumerate(jax.tree.leaves(tree)):
