@@ -37,8 +37,11 @@ def save_checkpoint(filename: str, trees: dict, metadata: dict) -> None:
         return
     # One device_get over the whole state, not np.asarray per leaf: it
     # starts ALL device->host copies asynchronously before blocking, so the
-    # fetch pays one transport round-trip instead of one per leaf (~450
-    # leaves x ~25 ms dispatch on a relayed TPU = seconds per epoch).
+    # fetch pays one transport round-trip instead of one per leaf.
+    # Measured (r5, relayed TPU v5e, 3-step full-size epochs back-to-back
+    # around this change): 7.5 s/epoch -> 1.4-2.0 s/epoch — the serial
+    # per-leaf fetch of the ~450-leaf params+opt_state tree was ~6 s of
+    # every epoch's checkpoint save.
     trees = jax.device_get(trees)
     arrays = {}
     for name, tree in trees.items():
