@@ -134,7 +134,8 @@ def main():
 
     # Batched EVAL throughput: the published protocol is batch-1 latency
     # (the headline metric above), but a production serving deployment
-    # runs batched — images/s at batch 2/4 is its number.
+    # runs batched — images/s at batch 2/4 is its number. Measures the
+    # SHIPPED serving default (lax.map over the batch-1 program, r5).
     eval_throughput = {}
     for batch in (2, 4):
         seconds_for_batch = eval_batch_seconds(batch)
@@ -217,8 +218,13 @@ def main():
 
 
 def eval_batch_seconds(batch: int) -> float | None:
-    """Seconds per batched eval forward (serving throughput; same
-    device-loop slope methodology as the headline latency)."""
+    """Seconds per batched eval forward — the SHIPPED serving path
+    (``serving.InferenceSession`` default): batch > 1 runs as a jitted
+    ``lax.map`` over the batch-1 program. Root cause and A/B vs the direct
+    batched program in EVAL_BATCH_COST_r05.json / EVAL_BATCH_MAP_r05.json
+    (direct batched regresses: XLA materializes layout copies at batch >= 2
+    that it fully fuses at batch 1). Same device-loop slope methodology as
+    the headline latency."""
     config = models.PDSConfig(maximum_disparity=MAXIMUM_DISPARITY,
                               folded_conv_impl=FOLDED_IMPL)
     params = models.init(jax.random.PRNGKey(0), config)
@@ -228,11 +234,21 @@ def eval_batch_seconds(batch: int) -> float | None:
     right = jax.random.uniform(key_right, (batch, HEIGHT, WIDTH, 3),
                                jnp.float32) * 255.0
 
+    def infer_serving(params, left, right):
+        if batch == 1:
+            return models.infer(params, left, right, config,
+                                compute_dtype=jnp.bfloat16)
+
+        def one_image(pair):
+            one_left, one_right = pair
+            return models.infer(params, one_left[None], one_right[None],
+                                config, compute_dtype=jnp.bfloat16)[0]
+        return jax.lax.map(one_image, (left, right))
+
     @jax.jit
     def run(params, left, right, iterations):
         def body(_, carry):
-            disparity = models.infer(params, left + carry * 1e-30, right,
-                                     config, compute_dtype=jnp.bfloat16)
+            disparity = infer_serving(params, left + carry * 1e-30, right)
             return jnp.mean(disparity)
 
         return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))

@@ -22,9 +22,20 @@ Example:
     session.warmup(height=540, width=960)          # compile once
     disparity = session.predict(left, right)        # [B, H, W] float32
 
-Throughput note (measured, ``bench.py`` r4): the forward is HBM-bound at
-full resolution — batch 2/4 serve FEWER images/s (46.0/42.1) than batch-1
-latency mode (50.3). Default to batch 1 unless your inputs are small.
+Batched serving (root-caused r5, artifacts ``EVAL_BATCH_r05.json`` /
+``EVAL_BATCH_COST_r05.json`` / ``EVAL_BATCH_MAP_r05.json``): naively
+batching the forward REGRESSES — XLA fully fuses the batch-1 program
+(embedding runs with ZERO temp bytes) but at batch >= 2 materializes
+layout copies, tripling embedding's bytes-accessed per image; per-image
+flops stay flat, so it is a compiled-program artifact, not a hardware
+ceiling. The session therefore serves batch > 1 as a jitted ``lax.map``
+over the batch-1 program (``batched_mode="map"``, the default): one
+dispatch, flat per-image cost. Measured at 960x540 D=191 on a v5e chip:
+54.6 img/s at batch 1; batch 4 mapped 43.6 img/s vs 35.2 direct (the
+~4.6 ms/img gap to batch-1 is loop-body fusion loss inside scan). When
+the host->device link pipelines (locally attached, not a relay), looping
+batch-1 ``predict`` calls hits full batch-1 throughput and is the best
+schedule of all.
 """
 
 from __future__ import annotations
@@ -45,7 +56,8 @@ class InferenceSession:
     def __init__(self,
                  params: dict,
                  config: models.PDSConfig = models.PDSConfig(),
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 batched_mode: str = "map"):
         """Args:
             params: network parameter pytree (:func:`models.init` or
                 :meth:`from_checkpoint`).
@@ -54,12 +66,36 @@ class InferenceSession:
                 ``set_maximum_disparity`` re-configured its module).
             compute_dtype: on-device compute dtype; bfloat16 is the
                 measured-fastest exact-protocol choice on TPU.
+            batched_mode: how batch > 1 requests execute — ``"map"``
+                (default; one jitted ``lax.map`` over the batch-1 program,
+                measured faster at every batch size, see module docstring)
+                or ``"direct"`` (one batched program; the r4 behavior,
+                kept for A/B).
         """
+        if batched_mode not in ("map", "direct"):
+            raise ValueError(
+                f'"batched_mode" must be "map" or "direct", '
+                f"got {batched_mode!r}")
         self._params = params
         self._config = config
         self._compute_dtype = compute_dtype
-        self._infer = jax.jit(functools.partial(
+        self._batched_mode = batched_mode
+        self._infer_direct = jax.jit(functools.partial(
             models.infer, config=config, compute_dtype=compute_dtype))
+        self._infer_mapped = jax.jit(self._mapped_infer)
+
+    def _mapped_infer(self, params, left, right):
+        def one_image(pair):
+            one_left, one_right = pair
+            return models.infer(params, one_left[None], one_right[None],
+                                self._config,
+                                compute_dtype=self._compute_dtype)[0]
+        return jax.lax.map(one_image, (left, right))
+
+    def _infer(self, params, left, right):
+        if left.shape[0] > 1 and self._batched_mode == "map":
+            return self._infer_mapped(params, left, right)
+        return self._infer_direct(params, left, right)
 
     @classmethod
     def from_checkpoint(cls, filename: str,
