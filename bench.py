@@ -219,12 +219,14 @@ def main():
 
 def eval_batch_seconds(batch: int) -> float | None:
     """Seconds per batched eval forward — the SHIPPED serving path
-    (``serving.InferenceSession`` default): batch > 1 runs as a jitted
-    ``lax.map`` over the batch-1 program. Root cause and A/B vs the direct
-    batched program in EVAL_BATCH_COST_r05.json / EVAL_BATCH_MAP_r05.json
-    (direct batched regresses: XLA materializes layout copies at batch >= 2
-    that it fully fuses at batch 1). Same device-loop slope methodology as
-    the headline latency."""
+    (``serving.InferenceSession`` default): batch > 1 runs as N unrolled
+    copies of the batch-1 program in one jit. Root cause and A/B vs the
+    direct batched program in EVAL_BATCH_COST_r05.json /
+    EVAL_BATCH_MAP_r05.json (direct batched regresses: XLA materializes
+    layout copies at batch >= 2 that it fully fuses at batch 1; unroll
+    keeps per-image fusion AND overlaps independent images — the only
+    formulation where batching beats batch-1). Same device-loop slope
+    methodology as the headline latency."""
     config = models.PDSConfig(maximum_disparity=MAXIMUM_DISPARITY,
                               folded_conv_impl=FOLDED_IMPL)
     params = models.init(jax.random.PRNGKey(0), config)
@@ -239,11 +241,13 @@ def eval_batch_seconds(batch: int) -> float | None:
             return models.infer(params, left, right, config,
                                 compute_dtype=jnp.bfloat16)
 
-        def one_image(pair):
+        def one_image(carry, pair):
             one_left, one_right = pair
-            return models.infer(params, one_left[None], one_right[None],
-                                config, compute_dtype=jnp.bfloat16)[0]
-        return jax.lax.map(one_image, (left, right))
+            return carry, models.infer(
+                params, one_left[None], one_right[None], config,
+                compute_dtype=jnp.bfloat16)[0]
+        return jax.lax.scan(one_image, jnp.zeros(()), (left, right),
+                            unroll=True)[1]
 
     @jax.jit
     def run(params, left, right, iterations):

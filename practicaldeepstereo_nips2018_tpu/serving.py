@@ -28,14 +28,17 @@ batching the forward REGRESSES — XLA fully fuses the batch-1 program
 (embedding runs with ZERO temp bytes) but at batch >= 2 materializes
 layout copies, tripling embedding's bytes-accessed per image; per-image
 flops stay flat, so it is a compiled-program artifact, not a hardware
-ceiling. The session therefore serves batch > 1 as a jitted ``lax.map``
-over the batch-1 program (``batched_mode="map"``, the default): one
-dispatch, flat per-image cost. Measured at 960x540 D=191 on a v5e chip:
-54.6 img/s at batch 1; batch 4 mapped 43.6 img/s vs 35.2 direct (the
-~4.6 ms/img gap to batch-1 is loop-body fusion loss inside scan). When
-the host->device link pipelines (locally attached, not a relay), looping
-batch-1 ``predict`` calls hits full batch-1 throughput and is the best
-schedule of all.
+ceiling. The session therefore serves batch > 1 as N independent copies
+of the batch-1 program in one jit (a fully-unrolled ``lax.scan``,
+``batched_mode="unroll"``, the default): each copy keeps batch-1's
+perfect fusion AND the scheduler overlaps independent images across HBM
+stalls. Measured at 960x540 D=191 on a v5e chip (img/s at batch 1/2/4):
+unroll 54.6 / 58.3 / 59.6 — the only formulation where batching BEATS
+batch-1 latency mode; map 54.6 / 43.5 / 43.6; direct (r4 behavior)
+54.5 / 41.6 / 35.3. Unrolling's price is compile time and executable
+size growing with batch (~1 GB cached executable at batch 4 for this
+shape) — ``warmup`` once per served shape; use ``batched_mode="map"``
+when compile cost matters more than the ~37% throughput.
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ class InferenceSession:
                  params: dict,
                  config: models.PDSConfig = models.PDSConfig(),
                  compute_dtype=jnp.bfloat16,
-                 batched_mode: str = "map"):
+                 batched_mode: str = "unroll"):
         """Args:
             params: network parameter pytree (:func:`models.init` or
                 :meth:`from_checkpoint`).
@@ -66,15 +69,18 @@ class InferenceSession:
                 ``set_maximum_disparity`` re-configured its module).
             compute_dtype: on-device compute dtype; bfloat16 is the
                 measured-fastest exact-protocol choice on TPU.
-            batched_mode: how batch > 1 requests execute — ``"map"``
-                (default; one jitted ``lax.map`` over the batch-1 program,
-                measured faster at every batch size, see module docstring)
-                or ``"direct"`` (one batched program; the r4 behavior,
-                kept for A/B).
+            batched_mode: how batch > 1 requests execute —
+                ``"unroll"`` (default; N independent copies of the batch-1
+                program in one jit, the only formulation where batching
+                beats batch-1 latency mode — see module docstring),
+                ``"map"`` (one jitted ``lax.map`` over the batch-1
+                program: cheaper compile, ~37% lower throughput), or
+                ``"direct"`` (one batched program; the r4 behavior, kept
+                for A/B — slowest, measured layout-copy regression).
         """
-        if batched_mode not in ("map", "direct"):
+        if batched_mode not in ("unroll", "map", "direct"):
             raise ValueError(
-                f'"batched_mode" must be "map" or "direct", '
+                f'"batched_mode" must be "unroll", "map" or "direct", '
                 f"got {batched_mode!r}")
         self._params = params
         self._config = config
@@ -82,19 +88,26 @@ class InferenceSession:
         self._batched_mode = batched_mode
         self._infer_direct = jax.jit(functools.partial(
             models.infer, config=config, compute_dtype=compute_dtype))
-        self._infer_mapped = jax.jit(self._mapped_infer)
+        self._infer_looped = jax.jit(self._looped_infer)
 
-    def _mapped_infer(self, params, left, right):
-        def one_image(pair):
-            one_left, one_right = pair
-            return models.infer(params, one_left[None], one_right[None],
-                                self._config,
-                                compute_dtype=self._compute_dtype)[0]
-        return jax.lax.map(one_image, (left, right))
+    def _one_image(self, params, pair):
+        one_left, one_right = pair
+        return models.infer(params, one_left[None], one_right[None],
+                            self._config,
+                            compute_dtype=self._compute_dtype)[0]
+
+    def _looped_infer(self, params, left, right):
+        if self._batched_mode == "unroll":
+            def body(carry, pair):
+                return carry, self._one_image(params, pair)
+            return jax.lax.scan(body, jnp.zeros(()), (left, right),
+                                unroll=True)[1]
+        return jax.lax.map(functools.partial(self._one_image, params),
+                           (left, right))
 
     def _infer(self, params, left, right):
-        if left.shape[0] > 1 and self._batched_mode == "map":
-            return self._infer_mapped(params, left, right)
+        if left.shape[0] > 1 and self._batched_mode != "direct":
+            return self._infer_looped(params, left, right)
         return self._infer_direct(params, left, right)
 
     @classmethod

@@ -51,12 +51,23 @@ def main():
         return models.infer(params, left, right, config,
                             compute_dtype=DTYPE)
 
+    def one_image(pair):
+        one_left, one_right = pair
+        return models.infer(params, one_left[None], one_right[None],
+                            config, compute_dtype=DTYPE)[0]
+
     def infer_mapped(left, right):
-        def one(pair):
-            one_left, one_right = pair
-            return models.infer(params, one_left[None], one_right[None],
-                                config, compute_dtype=DTYPE)[0]
-        return jax.lax.map(one, (left, right))
+        return jax.lax.map(one_image, (left, right))
+
+    def infer_unrolled(left, right):
+        # Fully-unrolled scan: N independent copies of the batch-1 program
+        # in one jit — tests whether the mapped path's ~4.6 ms/img gap to
+        # batch-1 is scan loop-body fusion loss (an unrolled body has no
+        # loop state to break fusion across).
+        def body(carry, pair):
+            return carry, one_image(pair)
+        return jax.lax.scan(body, jnp.zeros(()), (left, right),
+                            unroll=True)[1]
 
     results = {}
     for batch in args.batches:
@@ -66,7 +77,10 @@ def main():
         right = jax.random.uniform(key_r, shape) * 255.0
 
         row = {}
-        for name, fn in (("direct", infer_direct), ("mapped", infer_mapped)):
+        variants = [("direct", infer_direct), ("mapped", infer_mapped)]
+        if batch > 1:
+            variants.append(("unrolled", infer_unrolled))
+        for name, fn in variants:
             seconds = slope(looped(lambda l, fn=fn: fn(l, right)), left)
             row[name] = {"step_ms": round(seconds * 1e3, 3),
                          "per_image_ms": round(seconds * 1e3 / batch, 3),

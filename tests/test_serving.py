@@ -62,29 +62,34 @@ def test_from_checkpoint_roundtrip(setup, tmp_path):
                                   direct.predict(left, right))
 
 
-def test_mapped_batched_mode_matches_direct(setup):
-    """batch > 1 defaults to the lax.map formulation (r5: the direct
-    batched program materializes layout copies XLA fuses away at batch 1,
-    EVAL_BATCH_COST_r05.json); numerics must stay the same program-variant
-    bulk-identical as the direct path."""
+def test_batched_modes_agree(setup):
+    """batch > 1 defaults to the fully-unrolled formulation (r5: the
+    direct batched program materializes layout copies XLA fuses away at
+    batch 1, EVAL_BATCH_COST_r05.json; unroll keeps batch-1 fusion per
+    image and overlaps images, EVAL_BATCH_MAP_r05.json); all three modes
+    must stay program-variant bulk-identical."""
     config, params, _, _ = setup
     rng = np.random.RandomState(2)
     left = rng.uniform(0, 255, (3, 32, 48, 3)).astype(np.float32)
     right = rng.uniform(0, 255, (3, 32, 48, 3)).astype(np.float32)
-    mapped = InferenceSession(params, config, compute_dtype=None)
+    default = InferenceSession(params, config, compute_dtype=None)
+    assert default._batched_mode == "unroll"  # the shipped default
     direct = InferenceSession(params, config, compute_dtype=None,
                               batched_mode="direct")
-    assert mapped._batched_mode == "map"  # the shipped default
-    out_mapped = mapped.predict(left, right)
+    mapped = InferenceSession(params, config, compute_dtype=None,
+                              batched_mode="map")
+    out_default = default.predict(left, right)
     out_direct = direct.predict(left, right)
-    assert out_mapped.shape == out_direct.shape == (3, 32, 48)
+    out_mapped = mapped.predict(left, right)
+    assert out_default.shape == out_direct.shape == (3, 32, 48)
     # Different compiled programs: on a random-init network isolated
     # pixels flip argmax between compilation variants (same bulk-agreement
     # contract as test_parallel.py::test_sharded_infer_matches_unsharded).
-    difference = np.abs(out_mapped - out_direct)
-    assert (difference < 1e-2).mean() > 0.999, (difference > 1e-2).mean()
-    # Batch 1 must bypass the map (identical program to direct).
-    np.testing.assert_array_equal(mapped.predict(left[:1], right[:1]),
+    for other in (out_direct, out_mapped):
+        difference = np.abs(out_default - other)
+        assert (difference < 1e-2).mean() > 0.999, (difference > 1e-2).mean()
+    # Batch 1 must bypass the loop (identical program to direct).
+    np.testing.assert_array_equal(default.predict(left[:1], right[:1]),
                                   direct.predict(left[:1], right[:1]))
 
 
