@@ -82,50 +82,61 @@ class InferenceSession:
             raise ValueError(
                 f'"batched_mode" must be "unroll", "map" or "direct", '
                 f"got {batched_mode!r}")
-        self._params = params
+        # jnp-ify once: checkpoint restores hand back host numpy arrays,
+        # and a closed-over numpy array would be indexed by numpy (not
+        # jax) when the banded-kernel builder gathers taps under trace.
+        self._params = jax.tree.map(jnp.asarray, params)
         self._config = config
         self._compute_dtype = compute_dtype
         self._batched_mode = batched_mode
+        # The weights are CLOSED OVER, not jit arguments: a session's
+        # params never change, and letting XLA treat them as compile-time
+        # constants (pre-transformed layouts, folded casts) is worth 18%
+        # at the benchmark shape (batch-4 unrolled: 16.8 vs 20.5 ms/image
+        # with weights as arguments — measured r5, same A/B harness as
+        # EVAL_BATCH_MAP_r05.json). Training code does the opposite for
+        # the same reason: its params change every step.
         self._infer_direct = jax.jit(functools.partial(
-            models.infer, config=config, compute_dtype=compute_dtype))
+            models.infer, self._params, config=config,
+            compute_dtype=compute_dtype))
         self._infer_looped = jax.jit(self._looped_infer)
 
-    def _one_image(self, params, pair):
+    def _one_image(self, pair):
         one_left, one_right = pair
-        return models.infer(params, one_left[None], one_right[None],
+        return models.infer(self._params, one_left[None], one_right[None],
                             self._config,
                             compute_dtype=self._compute_dtype)[0]
 
-    def _looped_infer(self, params, left, right):
+    def _looped_infer(self, left, right):
         if self._batched_mode == "unroll":
             def body(carry, pair):
-                return carry, self._one_image(params, pair)
+                return carry, self._one_image(pair)
             return jax.lax.scan(body, jnp.zeros(()), (left, right),
                                 unroll=True)[1]
-        return jax.lax.map(functools.partial(self._one_image, params),
-                           (left, right))
+        return jax.lax.map(self._one_image, (left, right))
 
-    def _infer(self, params, left, right):
+    def _infer(self, left, right):
         if left.shape[0] > 1 and self._batched_mode != "direct":
-            return self._infer_looped(params, left, right)
-        return self._infer_direct(params, left, right)
+            return self._infer_looped(left, right)
+        return self._infer_direct(left, right)
 
     @classmethod
     def from_checkpoint(cls, filename: str,
                         config: models.PDSConfig = models.PDSConfig(),
-                        compute_dtype=jnp.bfloat16) -> "InferenceSession":
+                        compute_dtype=jnp.bfloat16,
+                        batched_mode: str = "unroll") -> "InferenceSession":
         """Builds a session from a training checkpoint (network-only
         restore — optimizer state in the file is ignored)."""
         template = models.init(jax.random.PRNGKey(0), config)
         trees, _ = ckpt.load_checkpoint(filename, {"params": template})
-        return cls(trees["params"], config, compute_dtype)
+        return cls(trees["params"], config, compute_dtype, batched_mode)
 
     def warmup(self, height: int, width: int, batch: int = 1) -> None:
         """Compiles (or loads from the persistent cache) the
         specialization for ``[batch, height, width, 3]`` inputs. Call once
         per served shape before taking traffic."""
         zeros = jnp.zeros((batch, height, width, 3), jnp.float32)
-        jax.block_until_ready(self._infer(self._params, zeros, zeros))
+        jax.block_until_ready(self._infer(zeros, zeros))
 
     def predict(self, left_image, right_image) -> np.ndarray:
         """Returns the sub-pixel disparity map [B, H, W] float32.
@@ -135,7 +146,7 @@ class InferenceSession:
                 floats (any H, W — padded internally per the 64-rule).
                 An un-warmed shape compiles on first use.
         """
-        disparity = self._infer(self._params, jnp.asarray(left_image),
+        disparity = self._infer(jnp.asarray(left_image),
                                 jnp.asarray(right_image))
         return np.asarray(jax.block_until_ready(disparity))
 
