@@ -12,10 +12,10 @@ Measurement method: the forward pass runs inside a single jitted
 and a scalar output (so the host fetch forces completion). The trip count is
 a RUNTIME argument — one compilation total — and the per-image time is the
 slope between two trip counts, cancelling the transport's fixed
-dispatch/fetch cost. Since r5 the headline program closes over the weights
-(serving-grade: fixed inference weights are compile-time constants, worth
-~10% here); the previous weights-as-arguments number is still emitted as
-``detail.time_per_image_weights_as_args``. A device-side loop is essential here: per-dispatch
+dispatch/fetch cost. The shared chip's absolute throughput drifts ~15%
+over tens of minutes (measured r5: one cached program, 18.3 -> 21.5 ms
+across 70 min), so numbers are comparable within a run; formulation
+choices are decided by interleaved A/Bs only. A device-side loop is essential here: per-dispatch
 overhead through the TPU relay is ~25 ms and does NOT pipeline, so host-side
 loops overstate the time 3x (measured: 42 ms host-looped vs 13.9 ms of
 actual device time in the profiler).
@@ -78,16 +78,16 @@ def main():
     right = jax.random.uniform(key_right, (1, HEIGHT, WIDTH, 3),
                                jnp.float32) * 255.0
 
-    # The headline program closes over the WEIGHTS (serving-grade, matches
-    # ``serving.InferenceSession``): inference weights are fixed, and XLA
-    # constant-folding them (pre-transformed layouts, folded casts) is
-    # worth ~10-18% on this chip (r5; A/B harness ab_eval_batched_map.py).
-    # The weights-as-arguments variant — the r1-r4 headline formulation,
-    # and what the trainer's eval step runs since ITS weights change — is
-    # still measured and emitted as detail.time_per_image_weights_as_args
-    # for cross-round continuity.
+    # Weights are jit ARGUMENTS, as in every round: an interleaved A/B
+    # (r5) measured closing them over as compile-time constants ~3-5%
+    # SLOWER on v5e. NOTE on cross-run comparisons: the shared relay
+    # chip's ABSOLUTE throughput drifts ~15% over tens of minutes (the
+    # same cached program measured 18.3 -> 21.5 ms across 70 minutes, r5);
+    # within-run numbers here are mutually comparable, but only
+    # INTERLEAVED A/Bs (scripts/ab_eval_batched_map.py) decide between
+    # program formulations.
     @jax.jit
-    def run(left, right, iterations):
+    def run(params, left, right, iterations):
         def body(_, carry):
             # Carried dependency: a value-zero but data-dependent input
             # perturbation prevents loop-invariant hoisting / CSE.
@@ -98,38 +98,22 @@ def main():
 
         return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
-    @jax.jit
-    def run_weights_as_args(params, left, right, iterations):
-        def body(_, carry):
-            perturbed = left + carry * 1e-30
-            disparity = models.infer(params, perturbed, right, config,
-                                     compute_dtype=jnp.bfloat16)
-            return jnp.mean(disparity)
+    # Warmup / compile. The scalar fetch forces completion (on relayed
+    # device transports block_until_ready alone can return early).
+    float(run(params, left, right, 1))
 
-        return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
+    def timed(iterations: int) -> float:
+        start = time.perf_counter()
+        float(run(params, left, right, iterations))
+        return time.perf_counter() - start
 
-    def measure(fn, *args) -> float:
-        # Warmup / compile. The scalar fetch forces completion (on relayed
-        # device transports block_until_ready alone can return early).
-        float(fn(*args, 1))
+    slopes = []
+    for _ in range(REPEATS):
+        short = timed(SHORT_ITERATIONS)
+        long = timed(LONG_ITERATIONS)
+        slopes.append((long - short) / (LONG_ITERATIONS - SHORT_ITERATIONS))
 
-        def timed(iterations: int) -> float:
-            start = time.perf_counter()
-            float(fn(*args, iterations))
-            return time.perf_counter() - start
-
-        samples = []
-        for _ in range(REPEATS):
-            short = timed(SHORT_ITERATIONS)
-            long = timed(LONG_ITERATIONS)
-            samples.append(
-                (long - short) / (LONG_ITERATIONS - SHORT_ITERATIONS))
-        return samples
-
-    slopes = measure(run, left, right)
     seconds = statistics.median(slopes)
-    seconds_weights_as_args = statistics.median(
-        measure(run_weights_as_args, params, left, right))
 
     # ---- FLOPs / MFU accounting (utils/flops.py): useful = reference
     # network math; executed = what the folded/paired program issues to the
@@ -227,8 +211,6 @@ def main():
             "compute_dtype": "bfloat16",
             "device": str(jax.devices()[0]),
             "frames_per_second": round(1.0 / seconds, 2),
-            "time_per_image_weights_as_args": round(
-                seconds_weights_as_args, 5),
             "eval_images_per_second": eval_throughput,
             "slope_samples_s": [round(s, 5) for s in slopes],
             "baseline_seconds": BASELINE_SECONDS,
@@ -265,8 +247,9 @@ def eval_batch_seconds(batch: int) -> float | None:
     right = jax.random.uniform(key_right, (batch, HEIGHT, WIDTH, 3),
                                jnp.float32) * 255.0
 
-    def infer_serving(left, right):
-        # Weights closed over, exactly like serving.InferenceSession.
+    def infer_serving(params, left, right):
+        # The shipped serving formulation (serving.InferenceSession):
+        # batch > 1 unrolls the batch-1 program.
         if batch == 1:
             return models.infer(params, left, right, config,
                                 compute_dtype=jnp.bfloat16)
@@ -280,20 +263,20 @@ def eval_batch_seconds(batch: int) -> float | None:
                             unroll=True)[1]
 
     @jax.jit
-    def run(left, right, iterations):
+    def run(params, left, right, iterations):
         def body(_, carry):
-            disparity = infer_serving(left + carry * 1e-30, right)
+            disparity = infer_serving(params, left + carry * 1e-30, right)
             return jnp.mean(disparity)
 
         return jax.lax.fori_loop(0, iterations, body, jnp.float32(0.0))
 
     def timed(iterations: int) -> float:
         start = time.perf_counter()
-        float(run(left, right, iterations))
+        float(run(params, left, right, iterations))
         return time.perf_counter() - start
 
     try:
-        float(run(left, right, 1))  # compile
+        float(run(params, left, right, 1))  # compile
         samples = []
         for _ in range(REPEATS):
             short = timed(SHORT_ITERATIONS)

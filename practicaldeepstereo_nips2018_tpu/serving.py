@@ -31,14 +31,16 @@ flops stay flat, so it is a compiled-program artifact, not a hardware
 ceiling. The session therefore serves batch > 1 as N independent copies
 of the batch-1 program in one jit (a fully-unrolled ``lax.scan``,
 ``batched_mode="unroll"``, the default): each copy keeps batch-1's
-perfect fusion AND the scheduler overlaps independent images across HBM
-stalls. Measured at 960x540 D=191 on a v5e chip (img/s at batch 1/2/4):
-unroll 54.6 / 58.3 / 59.6 — the only formulation where batching BEATS
-batch-1 latency mode; map 54.6 / 43.5 / 43.6; direct (r4 behavior)
-54.5 / 41.6 / 35.3. Unrolling's price is compile time and executable
-size growing with batch (~1 GB cached executable at batch 4 for this
-shape) — ``warmup`` once per served shape; use ``batched_mode="map"``
-when compile cost matters more than the ~37% throughput.
+perfect fusion. Measured INTERLEAVED at 960x540 D=191 on a v5e chip
+(per-image ms at batch 4, same window: the shared chip's absolute
+throughput drifts ~15% over tens of minutes, so only interleaved A/Bs
+are comparable): unroll 20.8 ≈ batch-1's 20.5; direct (r4 behavior)
+24.6 (-18%); ``lax.map`` sits between (its scan body re-materializes
+loop state). So batching HOLDS per-image throughput instead of losing a
+fifth of it — batch for dispatch amortization, not for kernel speedups.
+Unrolling's price is compile time and executable size growing with batch
+(~1 GB cached executable at batch 4 for this shape) — ``warmup`` once
+per served shape; use ``batched_mode="map"`` when compile cost matters.
 """
 
 from __future__ import annotations
@@ -71,54 +73,50 @@ class InferenceSession:
                 measured-fastest exact-protocol choice on TPU.
             batched_mode: how batch > 1 requests execute —
                 ``"unroll"`` (default; N independent copies of the batch-1
-                program in one jit, the only formulation where batching
-                beats batch-1 latency mode — see module docstring),
-                ``"map"`` (one jitted ``lax.map`` over the batch-1
-                program: cheaper compile, ~37% lower throughput), or
-                ``"direct"`` (one batched program; the r4 behavior, kept
-                for A/B — slowest, measured layout-copy regression).
+                program in one jit — holds batch-1 per-image throughput,
+                see module docstring), ``"map"`` (one jitted ``lax.map``
+                over the batch-1 program: cheaper compile, ~10% slower),
+                or ``"direct"`` (one batched program; the r4 behavior,
+                kept for A/B — slowest, measured layout-copy regression).
         """
         if batched_mode not in ("unroll", "map", "direct"):
             raise ValueError(
                 f'"batched_mode" must be "unroll", "map" or "direct", '
                 f"got {batched_mode!r}")
-        # jnp-ify once: checkpoint restores hand back host numpy arrays,
-        # and a closed-over numpy array would be indexed by numpy (not
-        # jax) when the banded-kernel builder gathers taps under trace.
+        # Weights stay jit ARGUMENTS (an interleaved A/B measured closing
+        # them over as compile-time constants consistently ~3-5% SLOWER on
+        # v5e; an earlier sequential A/B said the opposite and was a
+        # time-drift artifact of the shared chip — see bench.py's drift
+        # note), but they are jnp-ified ONCE here: numpy arrays from a
+        # checkpoint restore would otherwise re-transfer host->device on
+        # every predict call.
         self._params = jax.tree.map(jnp.asarray, params)
         self._config = config
         self._compute_dtype = compute_dtype
         self._batched_mode = batched_mode
-        # The weights are CLOSED OVER, not jit arguments: a session's
-        # params never change, and letting XLA treat them as compile-time
-        # constants (pre-transformed layouts, folded casts) is worth 18%
-        # at the benchmark shape (batch-4 unrolled: 16.8 vs 20.5 ms/image
-        # with weights as arguments — measured r5, same A/B harness as
-        # EVAL_BATCH_MAP_r05.json). Training code does the opposite for
-        # the same reason: its params change every step.
         self._infer_direct = jax.jit(functools.partial(
-            models.infer, self._params, config=config,
-            compute_dtype=compute_dtype))
+            models.infer, config=config, compute_dtype=compute_dtype))
         self._infer_looped = jax.jit(self._looped_infer)
 
-    def _one_image(self, pair):
+    def _one_image(self, params, pair):
         one_left, one_right = pair
-        return models.infer(self._params, one_left[None], one_right[None],
+        return models.infer(params, one_left[None], one_right[None],
                             self._config,
                             compute_dtype=self._compute_dtype)[0]
 
-    def _looped_infer(self, left, right):
+    def _looped_infer(self, params, left, right):
         if self._batched_mode == "unroll":
             def body(carry, pair):
-                return carry, self._one_image(pair)
+                return carry, self._one_image(params, pair)
             return jax.lax.scan(body, jnp.zeros(()), (left, right),
                                 unroll=True)[1]
-        return jax.lax.map(self._one_image, (left, right))
+        return jax.lax.map(functools.partial(self._one_image, params),
+                           (left, right))
 
     def _infer(self, left, right):
         if left.shape[0] > 1 and self._batched_mode != "direct":
-            return self._infer_looped(left, right)
-        return self._infer_direct(left, right)
+            return self._infer_looped(self._params, left, right)
+        return self._infer_direct(self._params, left, right)
 
     @classmethod
     def from_checkpoint(cls, filename: str,

@@ -25,15 +25,14 @@ def test_predict_matches_models_infer(setup):
     config, params, left, right = setup
     session = InferenceSession(params, config, compute_dtype=None)
     predicted = session.predict(left, right)
-    # Compare against the SAME jitted program — weights closed over, as
-    # the session compiles it (an eager op-by-op models.infer, or one with
-    # weights as arguments, is a different compilation variant: on a
-    # random-init network reduction-order noise flips isolated argmaxes by
-    # a whole disparity step — the known compilation-variant behavior
-    # pinned in test_parallel.py::test_sharded_infer_matches_unsharded).
+    # Compare against the SAME jitted program (an eager op-by-op
+    # models.infer is a different compilation variant: on a random-init
+    # network reduction-order noise flips isolated argmaxes by a whole
+    # disparity step — the known compilation-variant behavior pinned in
+    # test_parallel.py::test_sharded_infer_matches_unsharded).
     expected = np.asarray(jax.jit(
-        lambda l, r: models.infer(params, l, r, config))(
-            jnp.asarray(left), jnp.asarray(right)))
+        lambda p, l, r: models.infer(p, l, r, config))(
+            params, jnp.asarray(left), jnp.asarray(right)))
     assert predicted.shape == (1, 32, 48)
     assert predicted.dtype == np.float32
     np.testing.assert_allclose(predicted, expected, atol=1e-5)
