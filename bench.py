@@ -233,11 +233,11 @@ def eval_batch_seconds(batch: int) -> float | None:
     (``serving.InferenceSession`` default): batch > 1 runs as N unrolled
     copies of the batch-1 program in one jit. Root cause and A/B vs the
     direct batched program in EVAL_BATCH_COST_r05.json /
-    EVAL_BATCH_MAP_r05.json (direct batched regresses: XLA materializes
-    layout copies at batch >= 2 that it fully fuses at batch 1; unroll
-    keeps per-image fusion AND overlaps independent images — the only
-    formulation where batching beats batch-1). Same device-loop slope
-    methodology as the headline latency."""
+    EVAL_BATCH_MAP_r05.json (direct batched regresses 12-17%: XLA
+    materializes layout copies at batch >= 2 that it fully fuses at
+    batch 1; unroll keeps per-image fusion and holds batch-1 per-image
+    throughput within ~2-4%). Same device-loop slope methodology as the
+    headline latency."""
     config = models.PDSConfig(maximum_disparity=MAXIMUM_DISPARITY,
                               folded_conv_impl=FOLDED_IMPL)
     params = models.init(jax.random.PRNGKey(0), config)
